@@ -1,0 +1,145 @@
+"""Deterministic synthetic page corpora at the north-rule input shape
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Two sources:
+
+1. ``pages_from_documents`` — lift the driver-provided ``documents`` parquet
+   (doc_id, text, lang, source, n_chars) into the input_hint schema.  The
+   HTML wrapper is lossless under ``semantics.extract_text`` so the
+   byte-identical-text invariant is checkable end to end.
+
+2. ``generate_pages`` — a pure-Python seeded generator producing Zipf-skewed
+   token text (hub entities for skew-join tests), optional script/style junk,
+   and all-lang variety.  No wall clock, no external data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+_EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+# Zipf-ish vocabulary: head tokens are hub entities (the skew source).
+_VOCAB = [
+    "the", "a", "data", "spark", "join", "hash", "row", "batch", "scan",
+    "column", "customer", "filter", "small", "slow", "merge", "order",
+    "vector", "line", "table", "agg", "value", "key", "stream", "window",
+    "group", "part", "big", "sort", "query", "fast", "dup",
+]
+_LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]
+
+
+def wrap_html(text: str, title: str = "") -> bytes:
+    """Lossless-under-extraction HTML wrapper (adds junk the extractor must
+    strip: script, style, comment)."""
+    return (
+        "<html><head><title>" + title + "</title>"
+        "<style>body { color: #000; }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<!-- comment -->"
+        "<body><h1>" + title + "</h1><p>" + text + "</p></body></html>"
+    ).encode("utf-8")
+
+
+def generate_pages_rows(n_pages: int, seed: int = 42,
+                        zipf_s: float = 1.3) -> list[dict]:
+    """Pure-Python row list (usable by the oracle without Spark)."""
+    rng = random.Random(seed)
+    # Zipf weights over the vocabulary
+    weights = [1.0 / ((i + 1) ** zipf_s) for i in range(len(_VOCAB))]
+    rows = []
+    for i in range(n_pages):
+        n_tok = 16 + rng.randrange(112)
+        toks = rng.choices(_VOCAB, weights=weights, k=n_tok)
+        text = " ".join(toks)
+        url = f"https://example.org/p/{seed}/{i:08d}"
+        rows.append({
+            "url": url,
+            "warc_ts": _EPOCH + dt.timedelta(seconds=i),
+            "html": wrap_html(text, title=f"page {i}"),
+            "text": None,  # pipeline recomputes; oracle extracts from html
+            "lang": rng.choice(_LANGS),
+        })
+    return rows
+
+
+def generate_pages(spark: SparkSession, n_pages: int, seed: int = 42,
+                   partitions: int | None = None) -> DataFrame:
+    rows = generate_pages_rows(n_pages, seed)
+    df = spark.createDataFrame(rows, schema=PAGE_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions, "url")
+    return df
+
+
+def generate_pages_distributed(spark: SparkSession, n_pages: int,
+                               seed: int = 42,
+                               partitions: int = 32) -> DataFrame:
+    """Scale path: generate on executors (no driver materialization).
+
+    Each partition derives its rows from (seed, global row index) only, so
+    output is independent of ``partitions`` — deterministic at any
+    parallelism.  Used by bench.py for larger-than-driver corpora.
+    """
+    import pandas as pd
+
+    def gen(iterator):
+        for pdf in iterator:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random((seed << 32) ^ i)
+                n_tok = 16 + rng.randrange(112)
+                weights = [1.0 / ((k + 1) ** 1.3) for k in range(len(_VOCAB))]
+                toks = rng.choices(_VOCAB, weights=weights, k=n_tok)
+                text = " ".join(toks)
+                out.append({
+                    "url": f"https://example.org/p/{seed}/{i:08d}",
+                    "warc_ts": _EPOCH + dt.timedelta(seconds=i),
+                    "html": wrap_html(text, title=f"page {i}"),
+                    "text": None,
+                    "lang": _LANGS[rng.randrange(len(_LANGS))],
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in PAGE_SCHEMA.fields])
+
+    ids = spark.range(0, n_pages, 1, partitions)
+    return ids.mapInPandas(gen, schema=PAGE_SCHEMA)
+
+
+def pages_from_documents(documents: DataFrame) -> DataFrame:
+    """Driver testdata ``documents`` → input_hint pages.
+
+    url = source '/' doc_id (unique); warc_ts = epoch + doc_id seconds;
+    html = STRICTLY lossless wrapper (no title/h1 text) so that
+    extract_text(html) == text byte-for-byte — this is what lets the DuckDB
+    oracle SQL reproduce the pipeline from documents.text alone.
+    Everything derived from input columns — no wall clock (SURVEY.md §7.3).
+    """
+    wrapped = F.concat(
+        F.lit("<html><head><title></title>"
+              "<style>body { color: #000; }</style>"
+              "<script>var x = '<p>not text</p>';</script></head>"
+              "<!-- comment --><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return documents.select(
+        F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.encode(wrapped, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )

@@ -1,0 +1,154 @@
+"""The end-to-end KG-construction pipeline (north rule).
+
+pages → docs_clean → mentions + raw_triples → linked → canonical_map →
+entities / relations / frames+slots / triples / provenance
+
+Two execution modes:
+- in-memory (``workdir=None``): one lazy DAG, used by the driver-facing
+  ``queries()`` and for small inputs;
+- checkpointed (``workdir=...``): every stage commits an atomic snapshot +
+  per-url-bucket lineage rows via SnapshotCatalog; a rerun resumes from the
+  last committed stage (tests/test_resume.py kills between stages).
+
+Every transform is a pure function of committed inputs and deterministic
+ids, so resume is idempotent by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.snapshots import SnapshotCatalog, lineage_by_url
+from .operators.cc import canonical_mapping
+from .operators.extraction import extract_docs, extract_mentions, extract_raw_triples
+from .operators.linking import discovered_alias_table, link_mentions
+from .operators.materialize import (
+    DEFAULT_GRAPH,
+    build_entities,
+    build_frames_slots,
+    build_provenance,
+    build_relations,
+    build_triples,
+)
+from .semantics import SYNONYMS
+
+
+@dataclass
+class KGTables:
+    docs_clean: DataFrame
+    mentions: DataFrame
+    raw_triples: DataFrame
+    linked: DataFrame
+    canonical: DataFrame
+    entities: DataFrame
+    relations: DataFrame
+    frames: DataFrame
+    slots: DataFrame
+    triples: DataFrame
+    provenance: DataFrame
+    stages_resumed: list[str] = field(default_factory=list)
+
+    def register_views(self, prefix: str = "kg_") -> None:
+        for name in ("docs_clean", "mentions", "raw_triples", "linked",
+                     "entities", "relations", "frames", "slots", "triples",
+                     "provenance"):
+            getattr(self, name).createOrReplaceTempView(prefix + name)
+
+
+def same_as_edges(spark: SparkSession) -> DataFrame:
+    """The canonicalization config (semantics.SYNONYMS) as an edge DF."""
+    return spark.createDataFrame(
+        [("ent:" + a, "ent:" + b) for a, b in SYNONYMS],
+        "src string, dst string",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str | None = None,
+    link_strategy: str = "broadcast",
+    graph: str = DEFAULT_GRAPH,
+) -> KGTables:
+    cat = SnapshotCatalog(workdir) if workdir else None
+    resumed: list[str] = []
+
+    def stage(name: str, build, lineage_extra=None) -> DataFrame:
+        if cat is None:
+            return build()
+        if cat.committed(name):
+            resumed.append(name)
+            return cat.read(spark, name)
+
+        def _lineage(df: DataFrame) -> DataFrame | None:
+            # url-keyed stages carry per-bucket lineage; global stages
+            # (canonical map, entity/relation rollups) are audited by the
+            # manifest row counts instead.
+            if "url" not in df.columns:
+                return None
+            return lineage_by_url(df, name, extra_aggs=lineage_extra)
+
+        return cat.stage(spark, name, build, lineage_of=_lineage)
+
+    docs_clean = stage("docs_clean", lambda: extract_docs(pages))
+    mentions = stage("mentions", lambda: extract_mentions(docs_clean))
+    raw_triples = stage("raw_triples", lambda: extract_raw_triples(docs_clean))
+
+    def _link():
+        alias = discovered_alias_table(mentions)
+        return link_mentions(mentions, alias, strategy=link_strategy)
+
+    linked = stage(
+        "linked", _link,
+        lineage_extra={
+            "score_histogram": F.to_json(
+                F.map_from_entries(F.array(F.struct(
+                    F.lit("ge_half"),
+                    F.sum(F.when(F.col("link_score") >= 0.5, 1).otherwise(0)),
+                ))),
+            )
+        },
+    )
+
+    def _canonical():
+        ents = linked.select("entity_id").distinct()
+        return canonical_mapping(ents, same_as_edges(spark))
+
+    canonical = stage("canonical_map", _canonical)
+
+    def _linked_canonical() -> DataFrame:
+        return linked.join(F.broadcast(canonical), "entity_id").select(
+            "url", "pos", "surface", "kind", "entity_id", "link_score",
+            "canonical_id",
+        )
+
+    linked_canonical = _linked_canonical()
+
+    entities = stage("entities", lambda: build_entities(linked_canonical))
+    relations = stage("relations", lambda: build_relations(raw_triples, canonical))
+
+    if cat is None:
+        frames, slots = build_frames_slots(relations)
+    else:
+        if cat.committed("frames") and cat.committed("slots"):
+            resumed += ["frames", "slots"]
+            frames, slots = cat.read(spark, "frames"), cat.read(spark, "slots")
+        else:
+            frames, slots = build_frames_slots(relations)
+            frames = cat.commit("frames", frames)
+            slots = cat.commit("slots", slots)
+
+    triples = stage("triples", lambda: build_triples(entities, frames, graph))
+    provenance = stage(
+        "provenance", lambda: build_provenance(linked_canonical, raw_triples)
+    )
+
+    return KGTables(
+        docs_clean=docs_clean, mentions=mentions, raw_triples=raw_triples,
+        linked=linked_canonical, canonical=canonical, entities=entities,
+        relations=relations, frames=frames, slots=slots, triples=triples,
+        provenance=provenance, stages_resumed=resumed,
+    )
