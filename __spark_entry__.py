@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``  — flagship: run the full KG-construction pipeline over
+  /root/testdata/sf0.001 documents (lifted to the north-rule page schema)
+  and return the WordNet-shape frame reconstruction join (SURVEY.md §2.3 J3)
+  enriched with relation weights.
+- ``queries()`` / ``oracle_sql()`` — the operator battery; see
+  kgraphmemory_spark/queries.py for the registry (each entry documents the
+  SURVEY.md §2 operator ids it covers).
 """
 
 from __future__ import annotations
@@ -12,27 +14,41 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgraphmemory_spark import queries as Q
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    Q._prep(spark)
+    kg = Q.kg_tables(spark, SF0001)
+    from kgraphmemory_spark.semantics import SLOT_DESTINATION, SLOT_SOURCE
+
+    src = kg.slots.where(F.col("slot_type") == SLOT_SOURCE).select(
+        "frame_uri", F.col("entity_value").alias("source_entity"))
+    dst = kg.slots.where(F.col("slot_type") == SLOT_DESTINATION).select(
+        "frame_uri", F.col("entity_value").alias("destination_entity"))
+    rel = kg.relations.select(
+        F.col("subj").alias("source_entity"),
+        F.col("obj").alias("destination_entity"),
+        "weight", "ndocs")
+    return (
+        kg.frames.select("frame_uri", "frame_type")
+        .join(src, "frame_uri")
+        .join(dst, "frame_uri")
+        .join(rel, ["source_entity", "destination_entity"])
+        .select("source_entity", "frame_type", "destination_entity",
+                "weight", "ndocs")
+        .orderBy(F.desc("weight"), "source_entity", "destination_entity")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

@@ -1,0 +1,934 @@
+"""Driver-facing query registry: every entry pairs a Spark DataFrame builder
+with (where SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables — the correctness gate (CORRECTNESS_r{N}.json).
+
+Coverage map (SURVEY.md §2): each entry's docstring names the operator ids
+it exercises; kg_* entries run the actual construction pipeline over the
+``documents`` table lifted to the north-rule page schema.
+
+Determinism rules applied throughout:
+- every aggregate/computed column aliased identically on both sides;
+- doubles rounded (4dp) before comparison (floating sum order);
+- counts cast to long on both sides; top-k queries totally ordered with
+  key tiebreakers so the row SET is well-defined.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .datagen import pages_from_documents
+from .functions import text as TX
+from .functions import vector as V
+from .operators import similarity as SIM
+from .pipeline import run_pipeline
+from .semantics import FRAME_TYPE_NEXT, SLOT_DESTINATION, SLOT_SOURCE
+
+# --------------------------------------------------------------------------
+# session prep + table cache
+# --------------------------------------------------------------------------
+
+def _prep(spark: SparkSession) -> None:
+    """The driver may hand us a vanilla session — pin the conf that affects
+    result values (TZ) and plans (AQE/skew)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+_KG_CACHE: dict[tuple[int, str], object] = {}
+
+
+def kg_tables(spark: SparkSession, sf_dir: str):
+    """Run (once per session+sf_dir) the construction pipeline over the
+    documents table and cache every materialized DataFrame."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _KG_CACHE:
+        pages = pages_from_documents(load(spark, sf_dir, "documents"))
+        kg = run_pipeline(spark, pages, link_strategy="broadcast")
+        for name in ("docs_clean", "mentions", "raw_triples", "linked",
+                     "entities", "relations", "frames", "slots", "triples",
+                     "provenance"):
+            setattr(kg, name, getattr(kg, name).cache())
+        _KG_CACHE[key] = kg
+    return _KG_CACHE[key]
+
+
+# Shared DuckDB SQL fragments (the oracle mirror of the rule-set).
+# url = source || '/' || doc_id  (datagen.pages_from_documents);
+# extraction is lossless so oracle text == documents.text.
+SQL_DOCS = """
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         text, lang
+  FROM documents
+"""
+SQL_TOKS = f"""
+  SELECT url, string_split_regex(trim(text), '\\s+') AS t
+  FROM ({SQL_DOCS}) WHERE length(trim(text)) > 0
+"""
+# canonicalization CASE — the statically-known fixpoint of SYNONYMS over
+# this corpus' vocabulary (semantics.canonical_map); min-id per component.
+SQL_CANON = """(CASE
+    WHEN {x} = 'ent:group' THEN 'ent:agg'
+    WHEN {x} = 'ent:sort'  THEN 'ent:order'
+    WHEN {x} = 'ent:row'   THEN 'ent:line'
+    ELSE {x} END)"""
+
+
+def _canon(x: str) -> str:
+    return SQL_CANON.format(x=x)
+
+
+SQL_UNIGRAMS = f"""
+  SELECT url, CAST(pos AS BIGINT) AS pos, t[pos+1] AS surface,
+         'unigram' AS kind, 'ent:' || t[pos+1] AS entity_id
+  FROM (SELECT url, t, unnest(range(len(t))) AS pos FROM ({SQL_TOKS}))
+"""
+SQL_BIGRAMS = f"""
+  SELECT url, CAST(pos AS BIGINT) AS pos, t[pos+1] || ' ' || t[pos+2] AS surface,
+         'bigram' AS kind,
+         'ent:' || replace(t[pos+1] || '_' || t[pos+2], ' ', '_') AS entity_id
+  FROM (SELECT url, t, unnest(range(len(t)-1)) AS pos FROM ({SQL_TOKS}) WHERE len(t) >= 2)
+  WHERE t[pos+1] || ' ' || t[pos+2] IN ('hash join','table scan','sort merge','group by')
+"""
+SQL_MENTIONS = f"({SQL_UNIGRAMS}) UNION ALL ({SQL_BIGRAMS})"
+SQL_ADJ = f"""
+  SELECT url, CAST(pos AS BIGINT) AS pos,
+         t[pos+1] AS subj_surface, 'urn:rel:next' AS pred, t[pos+2] AS obj_surface
+  FROM (SELECT url, t, unnest(range(len(t)-1)) AS pos FROM ({SQL_TOKS}) WHERE len(t) >= 2)
+"""
+SQL_RELATIONS = f"""
+  SELECT {_canon("'ent:' || subj_surface")} AS subj, pred,
+         {_canon("'ent:' || obj_surface")} AS obj,
+         CAST(count(*) AS BIGINT) AS weight,
+         CAST(count(DISTINCT url) AS BIGINT) AS ndocs
+  FROM ({SQL_ADJ})
+  GROUP BY 1, 2, 3
+"""
+SQL_ENTITIES = f"""
+  SELECT {_canon("entity_id")} AS entity_id, min(surface) AS name,
+         CASE WHEN max(CASE WHEN kind='bigram' THEN 1 ELSE 0 END)=1
+              THEN 'urn:kg:Phrase' ELSE 'urn:kg:Token' END AS entity_type,
+         CAST(count(*) AS BIGINT) AS mention_count
+  FROM ({SQL_MENTIONS})
+  GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: "OrderedDict[str, Callable[[SparkSession, str], DataFrame]]" = OrderedDict()
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ===================== KG-construction pipeline (north rule) ==============
+
+@register("kg_docs_clean", f"""
+  SELECT url, sha256(text) AS text_sha, lang FROM ({SQL_DOCS})
+""")
+def q_kg_docs(spark, sf):
+    """Stage 1 extraction — byte-identical text invariant (sha over url)."""
+    return kg_tables(spark, sf).docs_clean.select("url", "text_sha", "lang")
+
+
+@register("kg_mentions", f"""
+  SELECT url, pos, surface, kind FROM ({SQL_MENTIONS})
+""")
+def q_kg_mentions(spark, sf):
+    """Stage 2 mention detection (unigram + bigram ngram blocking)."""
+    return kg_tables(spark, sf).mentions.select(
+        "url", F.col("pos").cast("long").alias("pos"), "surface", "kind")
+
+
+@register("kg_raw_triples", f"""
+  SELECT url, pos, subj_surface, pred, obj_surface FROM ({SQL_ADJ})
+""")
+def q_kg_raw(spark, sf):
+    """Stage 2 triple extraction (token adjacency, rule webtext-v1)."""
+    return kg_tables(spark, sf).raw_triples.select(
+        "url", F.col("pos").cast("long").alias("pos"),
+        "subj_surface", "pred", "obj_surface")
+
+
+@register("kg_linked", f"""
+  SELECT url, pos, kind, entity_id, {_canon("entity_id")} AS canonical_id
+  FROM ({SQL_MENTIONS})
+""")
+def q_kg_linked(spark, sf):
+    """Stage 3+4: linking join (J11) + CC canonicalization fixpoint."""
+    return kg_tables(spark, sf).linked.select(
+        "url", F.col("pos").cast("long").alias("pos"), "kind",
+        "entity_id", "canonical_id")
+
+
+@register("kg_entities", SQL_ENTITIES)
+def q_kg_entities(spark, sf):
+    """Materialized KGEntity nodes (kgraph_entity_bridge.py:49-75 analog)."""
+    return kg_tables(spark, sf).entities
+
+
+@register("kg_relations", SQL_RELATIONS)
+def q_kg_relations(spark, sf):
+    """Materialized relations keyed by canonical entity id."""
+    return kg_tables(spark, sf).relations
+
+
+@register("kg_frame_reconstruct", f"""
+  SELECT subj AS source_entity, '{FRAME_TYPE_NEXT}' AS frame_type,
+         obj AS destination_entity
+  FROM ({SQL_RELATIONS})
+""")
+def q_kg_frames(spark, sf):
+    """FLAGSHIP (J3): the WordNet 5-way join — reconstruct binary relations
+    from frame + source/destination entity slots
+    (wordnet_batch_load_test.py:203-234)."""
+    kg = kg_tables(spark, sf)
+    src = kg.slots.where(F.col("slot_type") == SLOT_SOURCE).select(
+        "frame_uri", F.col("entity_value").alias("source_entity"))
+    dst = kg.slots.where(F.col("slot_type") == SLOT_DESTINATION).select(
+        "frame_uri", F.col("entity_value").alias("destination_entity"))
+    return (
+        kg.frames.select("frame_uri", "frame_type")
+        .join(src, "frame_uri").join(dst, "frame_uri")
+        .select("source_entity", "frame_type", "destination_entity")
+    )
+
+
+@register("kg_triples_long", f"""
+  WITH ents AS ({SQL_ENTITIES}), rels AS ({SQL_RELATIONS}),
+  frames AS (
+    SELECT 'frame:' || substr(sha256(subj || '|' || pred || '|' || obj), 1, 24) AS frame_uri,
+           'urn:frame:next' AS frame_type, subj, obj
+    FROM rels)
+  SELECT entity_id AS subject,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+         entity_type AS object, 'urn:graph:web' AS graph FROM ents
+  UNION ALL
+  SELECT entity_id, 'http://vital.ai/ontology/vital-core#vitaltype',
+         entity_type, 'urn:graph:web' FROM ents
+  UNION ALL
+  SELECT entity_id, 'http://vital.ai/ontology/vital-core#hasName',
+         name, 'urn:graph:web' FROM ents
+  UNION ALL
+  SELECT frame_uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         frame_type, 'urn:graph:web' FROM frames
+  UNION ALL
+  SELECT frame_uri, 'http://vital.ai/ontology/vital-core#hasEdgeSource',
+         subj, 'urn:graph:web' FROM frames
+  UNION ALL
+  SELECT frame_uri, 'http://vital.ai/ontology/vital-core#hasEdgeDestination',
+         obj, 'urn:graph:web' FROM frames
+""")
+def q_kg_triples(spark, sf):
+    """Long-format quad-store content (kgraph_rdf_db.py:576-593 emission)."""
+    return kg_tables(spark, sf).triples
+
+
+@register("kg_provenance", f"""
+  WITH m AS (
+    SELECT url, CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT {_canon("entity_id")}) AS BIGINT) AS n_entities
+    FROM ({SQL_MENTIONS}) GROUP BY url),
+  t AS (SELECT url, CAST(count(*) AS BIGINT) AS n_triples FROM ({SQL_ADJ}) GROUP BY url)
+  SELECT m.url, m.n_mentions, m.n_entities,
+         coalesce(t.n_triples, 0) AS n_triples
+  FROM m LEFT JOIN t ON m.url = t.url
+""")
+def q_kg_prov(spark, sf):
+    """Per-url provenance/lineage rows (north-rule lineage requirement)."""
+    return kg_tables(spark, sf).provenance
+
+
+@register("kg_cooccurrence", f"""
+  WITH e AS (SELECT DISTINCT url, {_canon("entity_id")} AS eid FROM ({SQL_MENTIONS}))
+  SELECT a.eid AS entity_a, b.eid AS entity_b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM e a JOIN e b ON a.url = b.url AND a.eid < b.eid
+  GROUP BY 1, 2
+""")
+def q_kg_cooc(spark, sf):
+    """J4: 2-hop co-occurrence self-join with anti-reflexive filter (P7)
+    (docs/sparql-examples.md:189-209)."""
+    kg = kg_tables(spark, sf)
+    e = kg.linked.select("url", F.col("canonical_id").alias("eid")).distinct()
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.url") == F.col("b.url")) & (F.col("a.eid") < F.col("b.eid")))
+        .groupBy(F.col("a.eid").alias("entity_a"), F.col("b.eid").alias("entity_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register("kg_top_entities", f"""
+  SELECT entity_id, mention_count FROM ({SQL_ENTITIES})
+  ORDER BY mention_count DESC, entity_id LIMIT 10
+""")
+def q_kg_top(spark, sf):
+    """W1/O2/O3: global top-k with deterministic tiebreak."""
+    return (
+        kg_tables(spark, sf).entities
+        .select("entity_id", "mention_count")
+        .orderBy(F.desc("mention_count"), F.asc("entity_id")).limit(10)
+    )
+
+
+@register("kg_entity_degree", f"""
+  SELECT subj AS entity_id, CAST(count(*) AS BIGINT) AS out_degree,
+         CAST(sum(weight) AS BIGINT) AS total_weight
+  FROM ({SQL_RELATIONS}) GROUP BY subj
+""")
+def q_kg_degree(spark, sf):
+    """A3/A7: per-entity rollup over relations."""
+    return (
+        kg_tables(spark, sf).relations.groupBy(F.col("subj").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("out_degree"),
+             F.sum("weight").alias("total_weight"))
+    )
+
+
+@register("kg_link_histogram", f"""
+  SELECT CAST(least(floor(1.0 * 10), 9) AS INT) AS score_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ({SQL_MENTIONS}) GROUP BY 1
+""")
+def q_kg_hist(spark, sf):
+    """A10: link-score histogram (all exact matches → bucket 9)."""
+    from .operators.linking import link_score_histogram
+    return link_score_histogram(kg_tables(spark, sf).linked)
+
+
+# ===================== operator battery (TPC-H / events / docs) ===========
+
+@register("p2_contains", """
+  SELECT doc_id, n_chars FROM documents
+  WHERE contains(text, 'hash join')
+""")
+def q_p2(spark, sf):
+    """P2: CONTAINS filter (FILTER(CONTAINS(STR(?x),...)),
+    test_kgentity_memory.py:218-249)."""
+    return load(spark, sf, "documents").where(
+        F.col("text").contains("hash join")).select("doc_id", "n_chars")
+
+
+@register("p3_startswith", """
+  SELECT c_custkey, c_name FROM customer
+  WHERE starts_with(c_name, 'Customer#000001')
+""")
+def q_p3(spark, sf):
+    """P3: STRSTARTS (kgraph_bridge_utilities.py:330-334)."""
+    c = load(spark, sf, "customer")
+    return c.where(F.col("c_name").startswith("Customer#000001")).select(
+        "c_custkey", "c_name")
+
+
+@register("p4_lcase_strlen", """
+  SELECT doc_id FROM documents
+  WHERE length(text) > 300 AND contains(lower(text), 'vector')
+""")
+def q_p4(spark, sf):
+    """P4: LCASE + STRLEN predicates (docs/sparql-examples.md:47,83)."""
+    d = load(spark, sf, "documents")
+    return d.where((F.length("text") > 300)
+                   & F.lower(F.col("text")).contains("vector")).select("doc_id")
+
+
+@register("p5_ts_range", """
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+  GROUP BY event_type
+""")
+def q_p5(spark, sf):
+    """P5: dateTime range filter (kgraph_interaction_bridge.py:487-493)."""
+    e = load(spark, sf, "events")
+    return (
+        e.where((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("p8_isin", """
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderstatus IN ('O','F') GROUP BY o_orderstatus
+""")
+def q_p8(spark, sf):
+    """P8: IN-list filter (kgraph_chat_bridge.py:245,271)."""
+    return (
+        load(spark, sf, "orders").where(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("j1_linked_objects", """
+  SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+""")
+def q_j1(spark, sf):
+    """J1: 1-hop edge traversal join + A7 rollup
+    (kgraph_bridge_utilities.py:304-352) — broadcast the dim side."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register("j5_left_outer", """
+  SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+""")
+def q_j5(spark, sf):
+    """J5: OPTIONAL / left outer join (kgraph_frame_bridge.py:300-319)."""
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name").agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register("j6_semi_exists", """
+  SELECT c_custkey FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_j6(spark, sf):
+    """J6: existence join — the hybrid-search ASK-per-candidate loop
+    (kgraph.py:322-344) as ONE left-semi join."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@register("j7_anti_not_exists", """
+  SELECT c_custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+""")
+def q_j7(spark, sf):
+    """J7: anti join — deleted-object verification pattern
+    (test_interaction_memory.py:316-328)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register("j3_multiway_topk", """
+  SELECT c.c_custkey, o.o_orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2
+  ORDER BY revenue DESC, o_orderkey LIMIT 20
+""")
+def q_j3(spark, sf):
+    """Multiway join + agg + top-k (TPC-H Q3 shape; J3-scale self-join
+    analog of the WordNet CONSTRUCT)."""
+    c = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(20)
+    )
+
+
+@register("a1_tpch_q1", """
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+""")
+def q_a1(spark, sf):
+    """A1-A3: multi-agg GROUP BY (TPC-H Q1 shape; partial+final hash agg)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@register("a4_count_distinct", """
+  SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+""")
+def q_a4(spark, sf):
+    """A4: COUNT(DISTINCT) (wordnet_batch_load_test.py:239-249)."""
+    return (
+        load(spark, sf, "customer").groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+             F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register("a5_group_concat", """
+  SELECT r.r_name, string_agg(DISTINCT n.n_name, ', ' ORDER BY n.n_name) AS nations
+  FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+""")
+def q_a5(spark, sf):
+    """A5: GROUP_CONCAT(DISTINCT ...; separator) with stable order
+    (test/interaction_test.py:67-85)."""
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ", ")
+             .alias("nations"))
+    )
+
+
+@register("a6_distinct", """
+  SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def q_a6(spark, sf):
+    """A6: SELECT DISTINCT (kgraph_frame_bridge.py:532)."""
+    return load(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("w2_rank_per_group", """
+  SELECT c_nationkey, c_custkey, c_acctbal FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer) WHERE rn <= 3
+""")
+def q_w2(spark, sf):
+    """W2: best-candidate-per-group window ranker — THE entity-linking
+    ranking shape (kginteraction_graph.py:97-126)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load(spark, sf, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@register("w3_running_sum", """
+  SELECT user_id, event_id,
+         round(sum(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value
+  FROM events WHERE user_id < 50
+""")
+def q_w3(spark, sf):
+    """W3: chronological window within a partition
+    (kgraph_chat_bridge.py:247,273 ORDER BY ?timestamp)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        load(spark, sf, "events").where(F.col("user_id") < 50)
+        .select("user_id", "event_id",
+                F.round(F.sum("value").over(w), 4).alias("running_value"))
+    )
+
+
+@register("o4_recent_n", """
+  SELECT event_id, user_id FROM events
+  ORDER BY ts DESC, event_id DESC LIMIT 10
+""")
+def q_o4(spark, sf):
+    """W4/O2/O3: most-recent-N (kgraph_interaction_bridge.py:495-499)."""
+    return (
+        load(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "user_id").limit(10)
+    )
+
+
+@register("u1_union", """
+  SELECT 'customer' AS side, c_name AS name FROM customer WHERE c_custkey <= 100
+  UNION ALL
+  SELECT 'supplier' AS side, s_name AS name FROM supplier WHERE s_suppkey <= 100
+""")
+def q_u1(spark, sf):
+    """U1: UNION of two branches (docs/sparql-examples.md:121-138)."""
+    c = load(spark, sf, "customer").where(F.col("c_custkey") <= 100).select(
+        F.lit("customer").alias("side"), F.col("c_name").alias("name"))
+    s = load(spark, sf, "supplier").where(F.col("s_suppkey") <= 100).select(
+        F.lit("supplier").alias("side"), F.col("s_name").alias("name"))
+    return c.unionByName(s)
+
+
+@register("f2_localname", """
+  SELECT DISTINCT source,
+         CAST(string_split(source, 'c')[-1] AS VARCHAR) AS src_num
+  FROM documents
+""")
+def q_f2(spark, sf):
+    """F2: URI local-name extraction via substring_index
+    (kgraph_bridge_utilities.py:422-426)."""
+    return (
+        load(spark, sf, "documents")
+        .select("source", F.substring_index("source", "c", -1).alias("src_num"))
+        .distinct()
+    )
+
+
+@register("f5_date_format", """
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+""")
+def q_f5(spark, sf):
+    """F5: date formatting (kgraph_bridge_utilities.py:790-810 analog,
+    input-derived not wall-clock)."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("f6_deterministic_id", """
+  SELECT doc_id,
+         'doc:' || substr(sha256(source || '/' || CAST(doc_id AS VARCHAR)), 1, 24) AS det_id
+  FROM documents WHERE doc_id < 100
+""")
+def q_f6(spark, sf):
+    """F6/F7: content-derived deterministic ids (replaces the reference's
+    random URIGenerator, kgraph_bridge_utilities.py:105)."""
+    from .functions.ids import sha_id
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        sha_id("doc", F.concat_ws("/", F.col("source"),
+                                  F.col("doc_id").cast("string"))).alias("det_id"),
+    )
+
+
+@register("f8_json", """
+  SELECT event_type,
+         round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+  FROM events GROUP BY event_type
+""")
+def q_f8(spark, sf):
+    """F8: JSON property extraction (kgraph.py:379-393 to_json round-trip)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 4)
+             .alias("avg_k"))
+    )
+
+
+@register("f11_snippet", """
+  SELECT doc_id, substr(text, 1, 50) AS snippet FROM documents WHERE doc_id < 50
+""")
+def q_f11(spark, sf):
+    """F11: content snippet (kgraph_document_bridge.py:321 content[:200])."""
+    return (
+        load(spark, sf, "documents").where(F.col("doc_id") < 50)
+        .select("doc_id", F.substring("text", 1, 50).alias("snippet"))
+    )
+
+
+# ===================== similarity / vector search ==========================
+
+@register("v1_cosine_topk", """
+  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])), 4) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+  ORDER BY score DESC, e.vec_id LIMIT 10
+""")
+def q_v1(spark, sf):
+    """O4/F9: exact cosine kNN — the reference's vector search
+    (kgraph_vector_db.py:190-229) as a distributed scan + TakeOrdered."""
+    e = load(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("embedding").cast("array<double>"),
+                             F.col("qv").cast("array<double>")), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+    )
+
+
+@register("v2_knn_filtered", """
+  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])), 4) AS score
+  FROM embeddings e, q
+  WHERE e.label = 3 AND e.vec_id != 0
+  ORDER BY score DESC, e.vec_id LIMIT 5
+""")
+def q_v2(spark, sf):
+    """P11/P12: metadata-filtered kNN (kgraph_vector_db.py:231-263
+    _build_filter) — filter pushed below the similarity scan."""
+    e = load(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.where((F.col("label") == 3) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            F.round(V.cosine(F.col("embedding").cast("array<double>"),
+                             F.col("qv").cast("array<double>")), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+    )
+
+
+@register("v3_pairwise_avg_sim", """
+  SELECT a.label,
+         round(avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))), 4)
+           AS avg_intra_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.vec_id < 100 AND b.vec_id < 100
+  GROUP BY a.label
+""")
+def q_v3(spark, sf):
+    """F9 + J4: intra-label pairwise similarity rollup (bounded self-join)."""
+    e = load(spark, sf, "embeddings").where(F.col("vec_id") < 100)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.round(F.avg(V.cosine(F.col("a.embedding").cast("array<double>"),
+                                    F.col("b.embedding").cast("array<double>"))), 4)
+             .alias("avg_intra_sim"))
+    )
+
+
+# ===================== dedup family (training-data pipeline) ==============
+
+@register("d1_exact_dedup", """
+  SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY md5(text)
+""")
+def q_d1(spark, sf):
+    """Exact dedup: hash-groupBy, keep min id (training-data op #1)."""
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_doc"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register("d2_ngram_jaccard", """
+  WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents WHERE doc_id < 150 AND length(trim(text)) > 0),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+    FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i FROM t WHERE len(w) >= 3)),
+  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  ov AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT doc_a, doc_b,
+         round(1.0 * inter / (sa.n + sb.n - inter), 4) AS jaccard
+  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE 1.0 * inter / (sa.n + sb.n - inter) >= 0.2
+""")
+def q_d2(spark, sf):
+    """N-gram Jaccard near-dup: shingle → inverted-index join → overlap /
+    union (bounded to doc_id<150 so the oracle self-join stays small)."""
+    d = (load(spark, sf, "documents")
+         .where((F.col("doc_id") < 150) & (F.length(F.trim("text")) > 0)))
+    sh = (
+        d.select("doc_id", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ov = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        ov.join(sa, "doc_a").join(sb, "doc_b")
+        .where(j >= 0.2)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+@register("d3_minhash_lsh")
+def q_d3(spark, sf):
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket join).
+    xxhash64 has no DuckDB twin → rows-only check; Jaccard-verified
+    in tests against d2's exact result."""
+    from .operators.dedup import minhash_lsh_candidates
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 150)
+    return minhash_lsh_candidates(d, id_col="doc_id", text_col="text")
+
+
+@register("d4_simhash")
+def q_d4(spark, sf):
+    """SimHash fingerprint dedup buckets (rows-only: engine-native hash)."""
+    from .operators.dedup import simhash_buckets
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 150)
+    return simhash_buckets(d, id_col="doc_id", text_col="text")
+
+
+@register("d5_embedding_neardup", """
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+""")
+def q_d5(spark, sf):
+    """Embedding-cosine near-dup pairs above threshold (bounded; 0.35 is
+    the near-dup band for this synthetic corpus — see BASELINE notes)."""
+    e = load(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    a = e.alias("a")
+    b = e.alias("b")
+    score = V.cosine(F.col("a.embedding").cast("array<double>"),
+                     F.col("b.embedding").cast("array<double>"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(score >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(score, 4).alias("score"))
+    )
+
+
+# ===================== text analysis (training-data pipeline) ==============
+
+@register("t1_token_count", """
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_measured
+  FROM documents
+""")
+def q_t1(spark, sf):
+    """Token + char counting (whitespace tokenizer, JVM-side)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars_measured"),
+    )
+
+
+@register("t2_quality_score", """
+  SELECT doc_id, round((
+      (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN 1.0*n_chr/greatest(n_tok,1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN 1.0*(n_chr - n_nopunct)/greatest(n_chr,1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+  ) / 3.0, 4) AS quality
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+           length(text) AS n_chr,
+           length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_nopunct
+    FROM documents)
+""")
+def q_t2(spark, sf):
+    """Quality scoring: length band + punctuation + mean-token-length."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id",
+                    F.round(TX.quality_score(F.col("text")), 4).alias("quality"))
+
+
+@register("t3_lang_stopword", """
+  SELECT doc_id,
+         CASE WHEN 1.0 * hits / greatest(n_tok, 1) >= 0.05
+              THEN 'en' ELSE 'unknown' END AS lang_guess
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+             AS hits
+    FROM documents WHERE length(trim(text)) > 0)
+""")
+def q_t3(spark, sf):
+    """Language-ID heuristic (stopword ratio)."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@register("t4_fingerprint")
+def q_t4(spark, sf):
+    """64-bit doc fingerprint (engine hash — rows-only check)."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", TX.fingerprint64(F.col("text")).alias("fp64"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
