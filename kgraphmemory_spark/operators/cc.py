@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 def _checksum(e: DataFrame) -> tuple[int, int]:
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).cast("decimal(38,0)").alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 
@@ -40,10 +42,14 @@ def connected_components(
     appears in ``edges``; component = lexicographic min node id of the CC.
     Callers union in their isolated nodes (component = self) afterwards.
     """
-    e = (
-        edges.select(F.col(src).cast("string").alias("u"),
-                     F.col(dst).cast("string").alias("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+    raw = edges.select(F.col(src).cast("string").alias("u"),
+                       F.col(dst).cast("string").alias("v"))
+    all_nodes = (
+        raw.select(F.explode(F.array("u", "v")).alias("node"))
+        .where(F.col("node").isNotNull()).distinct()
+    )
+    e = raw.where(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
     )
     # symmetric closure once up front; stars keep orientation afterwards
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -85,12 +91,13 @@ def connected_components(
             break
         prev = cur
 
-    # after convergence every edge is (node → component-min)
+    # after convergence every edge is (node → component-min); nodes that
+    # only appeared in self-loops / singleton inputs map to themselves
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
     )
-    return comp.unionByName(roots).distinct()
 
 
 def canonical_mapping(entities: DataFrame, same_as: DataFrame,

@@ -1,0 +1,13 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from kgraphmemory_spark.session import get_spark
+    s = get_spark(app="kgm-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()

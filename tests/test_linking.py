@@ -1,0 +1,70 @@
+"""Linking join: all three strategies (broadcast / salted / shuffle) must
+produce identical results; ambiguous aliases rank deterministically."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraphmemory_spark import datagen
+from kgraphmemory_spark.operators.extraction import extract_docs, extract_mentions
+from kgraphmemory_spark.operators.linking import (
+    discovered_alias_table,
+    link_mentions,
+    link_score_histogram,
+)
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    pages = datagen.generate_pages(spark, 40, seed=23)
+    m = extract_mentions(extract_docs(pages)).cache()
+    m.count()
+    return m
+
+
+def _rows(df):
+    return {(r.url, r.pos, r.kind, r.entity_id, r.link_score)
+            for r in df.collect()}
+
+
+def test_strategies_agree(spark, mentions):
+    alias = discovered_alias_table(mentions).cache()
+    got = {
+        s: _rows(link_mentions(mentions, alias, strategy=s, salt=4))
+        for s in ("broadcast", "salted", "shuffle")
+    }
+    assert got["broadcast"] == got["salted"] == got["shuffle"]
+    assert len(got["broadcast"]) == mentions.count()  # 1 row per mention
+
+
+def test_ambiguous_alias_ranked_deterministically(spark):
+    m = spark.createDataFrame(
+        [("u1", 0, "apple", "unigram")],
+        "url string, pos int, surface string, kind string")
+    alias = spark.createDataFrame(
+        [("apple", "unigram", "ent:apple_fruit", 0.9),
+         ("apple", "unigram", "ent:apple_inc", 0.9),
+         ("apple", "unigram", "ent:apple_other", 0.2)],
+        "surface string, kind string, entity_id string, prior double")
+    got = link_mentions(m, alias).collect()
+    assert len(got) == 1
+    # score tie → lexicographic entity_id wins
+    assert got[0].entity_id == "ent:apple_fruit"
+    assert got[0].link_score == 0.9
+
+
+def test_unknown_surface_drops(spark):
+    m = spark.createDataFrame(
+        [("u1", 0, "zzz", "unigram")],
+        "url string, pos int, surface string, kind string")
+    alias = spark.createDataFrame(
+        [("aaa", "unigram", "ent:aaa", 1.0)],
+        "surface string, kind string, entity_id string, prior double")
+    assert link_mentions(m, alias).count() == 0
+
+
+def test_histogram_buckets(spark, mentions):
+    alias = discovered_alias_table(mentions)
+    linked = link_mentions(mentions, alias)
+    hist = {r.score_bucket: r.n for r in link_score_histogram(linked).collect()}
+    assert sum(hist.values()) == linked.count()
+    assert set(hist) == {9}  # all exact matches → top bucket

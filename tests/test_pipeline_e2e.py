@@ -1,0 +1,83 @@
+"""End-to-end: Spark pipeline vs pure-Python oracle on the synthetic
+Zipf-skewed corpus — the north-rule P/R gate (target: 1.0, floor 0.95)."""
+
+import pytest
+
+from kgraphmemory_spark import datagen, semantics
+from kgraphmemory_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = datagen.generate_pages_rows(80, seed=11)
+    pages = spark.createDataFrame(rows, schema=datagen.PAGE_SCHEMA)
+    kg = run_pipeline(spark, pages)
+    oracle = semantics.build_kg(rows)
+    return kg, oracle
+
+
+def test_extracted_text_byte_identical(corpus):
+    kg, oracle = corpus
+    got = {r.url: r.text for r in kg.docs_clean.collect()}
+    want = {d["url"]: d["text"] for d in oracle.docs}
+    assert got == want  # byte-identical per url (input_hint invariant)
+
+
+def test_triple_precision_recall(corpus):
+    kg, oracle = corpus
+    got = {(r.subj, r.pred, r.obj) for r in kg.relations.collect()}
+    want = oracle.triple_set()
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0  # same deterministic logic
+
+
+def test_relation_weights_exact(corpus):
+    kg, oracle = corpus
+    got = {(r.subj, r.obj): (r.weight, r.ndocs) for r in kg.relations.collect()}
+    want = {(r["subj"], r["obj"]): (r["weight"], r["ndocs"])
+            for r in oracle.relations}
+    assert got == want
+
+
+def test_entities_exact(corpus):
+    kg, oracle = corpus
+    got = {(r.entity_id, r.name, r.entity_type, r.mention_count)
+           for r in kg.entities.collect()}
+    want = {(e["entity_id"], e["name"], e["entity_type"], e["mention_count"])
+            for e in oracle.entities}
+    assert got == want
+
+
+def test_frames_slots_reconstruct_relations(corpus):
+    """J3 flagship join: frames ⋈ src-slot ⋈ dst-slot ≡ relations."""
+    from pyspark.sql import functions as F
+    from kgraphmemory_spark.semantics import SLOT_DESTINATION, SLOT_SOURCE
+    kg, oracle = corpus
+    src = kg.slots.where(F.col("slot_type") == SLOT_SOURCE).select(
+        "frame_uri", F.col("entity_value").alias("s"))
+    dst = kg.slots.where(F.col("slot_type") == SLOT_DESTINATION).select(
+        "frame_uri", F.col("entity_value").alias("o"))
+    rec = {(r.s, r.o) for r in
+           kg.frames.join(src, "frame_uri").join(dst, "frame_uri")
+           .select("s", "o").collect()}
+    want = {(r["subj"], r["obj"]) for r in oracle.relations}
+    assert rec == want
+
+
+def test_long_triples_exact(corpus):
+    kg, oracle = corpus
+    got = {(r.subject, r.predicate, r.object, r.graph)
+           for r in kg.triples.collect()}
+    want = {(t["subject"], t["predicate"], t["object"], t["graph"])
+            for t in oracle.triples}
+    assert got == want
+
+
+def test_frame_uris_match_oracle(corpus):
+    kg, oracle = corpus
+    got = {r.frame_uri for r in kg.frames.collect()}
+    want = {f["frame_uri"] for f in oracle.frames}
+    assert got == want  # sha-derived ids identical across engines
