@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract: prints ONE JSON line to stdout).
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+- kg_pipeline         — the full north-rule construction pipeline over the
+                        documents corpus (docs/sec + triples/sec reported)
+- kg_frame_reconstruct— flagship J3 join over the materialized graph
+- tpch_q1 / q3_topk   — heavy agg + multiway join on lineitem/orders
+- cosine_topk         — exact vector kNN scan
+- minhash_lsh         — near-dup candidate generation over documents
+
+Scaling evidence (north rule: ≥0.8 efficiency N→4N executors; sandbox
+proxy per driver instruction): the same pipeline job runs in TWO fresh
+subprocesses at local[8] and local[32] over an identical deterministic
+synthetic corpus; efficiency = (T8 / T32) / 4.  Reported in the JSON line
+under "scaling" and appended to BENCH history in BASELINE.md by hand.
+
+Usage:  python bench.py [--no-scaling] [--scaling-pages N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF_LABEL = SF_DIR.rstrip("/").split("/")[-1]
+
+
+def _headline(spark) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from kgraphmemory_spark import queries as Q
+
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        n = fn()
+        times[name] = round(time.time() - t0, 3)
+        return n
+
+    # -- full pipeline (cold) -------------------------------------------
+    docs = Q.load(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+
+    def _pipeline():
+        from kgraphmemory_spark.datagen import pages_from_documents
+        from kgraphmemory_spark.pipeline import run_pipeline
+        kg = run_pipeline(spark, pages_from_documents(docs),
+                          link_strategy="broadcast")
+        # force every materialized table
+        n_rel = kg.relations.count()
+        n_tr = kg.raw_triples.count()
+        kg.entities.count(); kg.triples.count(); kg.provenance.count()
+        extra["pipeline_raw_triples"] = n_tr
+        extra["pipeline_relations"] = n_rel
+        # registry kg_* queries reuse this run instead of rebuilding
+        Q._KG_CACHE[(id(spark.sparkContext), SF_DIR)] = kg
+        return n_rel
+
+    run("kg_pipeline", _pipeline)
+    extra["docs_per_sec"] = round(n_docs / times["kg_pipeline"], 1)
+    extra["triples_per_sec"] = round(
+        extra["pipeline_raw_triples"] / times["kg_pipeline"], 1)
+
+    run("kg_frame_reconstruct",
+        lambda: Q.QUERIES["kg_frame_reconstruct"](spark, SF_DIR).count())
+    run("tpch_q1", lambda: Q.QUERIES["a1_tpch_q1"](spark, SF_DIR).count())
+    run("q3_topk", lambda: Q.QUERIES["j3_multiway_topk"](spark, SF_DIR).count())
+    run("cosine_topk", lambda: Q.QUERIES["v1_cosine_topk"](spark, SF_DIR).count())
+    run("minhash_lsh", lambda: Q.QUERIES["d3_minhash_lsh"](spark, SF_DIR).count())
+    run("ngram_jaccard", lambda: Q.QUERIES["d2_ngram_jaccard"](spark, SF_DIR).count())
+    return times, extra
+
+
+def _scaling_child(cores: int, pages: int, reps: int = 2) -> float:
+    """Run the pipeline job in a fresh subprocess at local[cores].
+
+    The sandbox host carries bursty EXTERNAL load (loadavg >10 with no
+    process of ours running has been observed), so each child measures
+    ``reps`` runs and reports the min — the standard defense against
+    noisy-neighbor wall-clock.
+    """
+    code = f"""
+import time, sys
+sys.path.insert(0, "/root/repo")
+from kgraphmemory_spark.session import get_spark
+from kgraphmemory_spark.datagen import generate_pages_distributed
+from kgraphmemory_spark.pipeline import run_pipeline
+# identical input (fixed 256-way deterministic generation); shuffle width
+# scales with the "cluster" as it would on a real N->4N resize
+spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores})
+pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=256)
+pages.cache().count()  # corpus generation excluded from the measured window
+best = None
+for _ in range({reps}):
+    spark.catalog.clearCache()
+    pages.cache().count()
+    t0 = time.time()
+    kg = run_pipeline(spark, pages, link_strategy="salted")
+    n = kg.relations.count()
+    kg.entities.count(); kg.triples.count()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("ELAPSED", best, n)
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    no_scaling = "--no-scaling" in sys.argv
+    scaling_pages = 8000
+    for i, a in enumerate(sys.argv):
+        if a == "--scaling-pages":
+            scaling_pages = int(sys.argv[i + 1])
+
+    sys.path.insert(0, "/root/repo")
+    from kgraphmemory_spark.session import get_spark
+
+    spark = get_spark(app="kgm-bench", cores=CPUS, shuffle_partitions=CPUS)
+    t0 = time.time()
+    times, extra = _headline(spark)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "kg_construction_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_LABEL,
+        "cpus": CPUS,
+        "throughput": extra,
+    }
+
+    if not no_scaling:
+        load_before = open("/proc/loadavg").read().split()[:3]
+        t8 = _scaling_child(8, scaling_pages)
+        t32 = _scaling_child(32, scaling_pages)
+        load_after = open("/proc/loadavg").read().split()[:3]
+        result["scaling"] = {
+            "pages": scaling_pages,
+            "local8_sec": round(t8, 2),
+            "local32_sec": round(t32, 2),
+            "speedup_8_to_32": round(t8 / t32, 3),
+            "efficiency": round((t8 / t32) / 4.0, 3),
+            "note": "sandbox proxy for N→4N executors (driver instruction); "
+                    "min of 2 reps per config (host has external load)",
+            "host_loadavg_before": load_before,
+            "host_loadavg_after": load_after,
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,18 +32,57 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(e: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """Small-graph path: collect the (already symmetric, distinct) edges,
+    union-find on the driver, broadcast the mapping back as a DataFrame."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in e.collect():
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(n, find(n)) for n in parent]
+    spark = e.sparkSession
+    comp = spark.createDataFrame(mapping, "node string, component string")
+    return (
+        all_nodes.join(F.broadcast(comp), "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """→ DataFrame(node string, component string) for every node that
     appears in ``edges``; component = lexicographic min node id of the CC.
     Callers union in their isolated nodes (component = self) afterwards.
+
+    Adaptive execution (same spirit as AQE's broadcast cutover): below
+    ``driver_threshold`` edges the component graph fits comfortably on the
+    driver, where union-find is O(E α(E)) with zero per-round job latency;
+    above it, the alternating-star loop runs fully distributed.  Both paths
+    produce the identical min-labelled mapping (tests cross-check them).
     """
+    # materialize the input once — all_nodes, the symmetric closure and the
+    # first checkpoint otherwise each recompute the (possibly expensive)
+    # upstream plan that produced the edges
     raw = edges.select(F.col(src).cast("string").alias("u"),
                        F.col(dst).cast("string").alias("v"))
+    raw = raw.localCheckpoint(eager=True)
     all_nodes = (
         raw.select(F.explode(F.array("u", "v")).alias("node"))
         .where(F.col("node").isNotNull()).distinct()
@@ -54,6 +93,26 @@ def connected_components(
     # symmetric closure once up front; stars keep orientation afterwards
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint(eager=True)
+
+    # size the iteration width to the graph, not the session default —
+    # a handful of same-as edges must not pay 128-task jobs per round,
+    # while a billion-edge graph gets a partition per ~500k edges.
+    n_edges = e.count()
+    if n_edges == 0:
+        return all_nodes.withColumn("component", F.col("node"))
+
+    if n_edges <= driver_threshold:
+        return _driver_union_find(e, all_nodes)
+
+    width = max(1, min(int(e.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")), (n_edges // 500_000) + 1))
+    e = e.repartition(width, "u").localCheckpoint(eager=True)
+
+    # pin the loop's shuffle width (AQE still coalesces below it); restored
+    # at the end so callers keep their session setting
+    spark = e.sparkSession
+    saved_width = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
     prev = (-1, 0)
     for _ in range(max_iter):
@@ -90,6 +149,7 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+    spark.conf.set("spark.sql.shuffle.partitions", saved_width)
 
     # after convergence every edge is (node → component-min); nodes that
     # only appeared in self-loops / singleton inputs map to themselves
@@ -108,7 +168,7 @@ def canonical_mapping(entities: DataFrame, same_as: DataFrame,
     endpoints exist in ``entities`` fire — mirrors
     ``semantics.canonical_map``.
     """
-    ids = entities.select(F.col(id_col)).distinct()
+    ids = entities.select(F.col(id_col)).distinct().localCheckpoint(eager=True)
     live = (
         same_as.join(ids.withColumnRenamed(id_col, "src"), "src", "left_semi")
         .join(ids.withColumnRenamed(id_col, "dst"), "dst", "left_semi")

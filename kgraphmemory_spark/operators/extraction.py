@@ -39,6 +39,23 @@ def _tokens(docs: DataFrame) -> DataFrame:
     ).where(F.length("text") > 0)
 
 
+def _token_pairs(docs: DataFrame) -> DataFrame:
+    """(url, pos, a, b) for every adjacent token pair — ONE map-side pass:
+    zip_with over two shifted slices + posexplode.  No per-element
+    element_at lambdas (they allocate a struct array per row and dominated
+    the profile at 250k pages), no shuffle."""
+    toks = _tokens(docs).where(F.size("toks") >= 2)
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return toks.select(
+        "url", F.posexplode(pairs).alias("pos", "p")
+    ).select("url", "pos", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
 def extract_mentions(docs: DataFrame) -> DataFrame:
     """docs_clean → mentions(url, pos, surface, kind).
 
@@ -50,50 +67,22 @@ def extract_mentions(docs: DataFrame) -> DataFrame:
         "url", F.posexplode("toks").alias("pos", "surface")
     ).withColumn("kind", F.lit("unigram"))
 
-    bigram_keys = F.array(*[F.lit(k) for k in sorted(BIGRAM_ALIASES)])
-    pairs = toks.where(F.size("toks") >= 2).select(
-        "url",
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(
-                            " ",
-                            F.element_at("toks", i + 1),
-                            F.element_at("toks", i + 2),
-                        ).alias("surface"),
-                    ),
-                ),
-                lambda s: F.array_contains(bigram_keys, s["surface"]),
-            )
-        ).alias("m"),
-    ).select("url", F.col("m.pos").alias("pos"), F.col("m.surface").alias("surface"))
-    big = pairs.withColumn("kind", F.lit("bigram"))
+    big = (
+        _token_pairs(docs)
+        .select("url", "pos", F.concat_ws(" ", "a", "b").alias("surface"))
+        .where(F.col("surface").isin(*sorted(BIGRAM_ALIASES)))
+        .withColumn("kind", F.lit("bigram"))
+    )
     return uni.unionByName(big)
 
 
 def extract_raw_triples(docs: DataFrame) -> DataFrame:
     """docs_clean → raw_triples(url, pos, subj_surface, pred, obj_surface):
     token adjacency (rule-set stage 2)."""
-    toks = _tokens(docs).where(F.size("toks") >= 2)
-    return toks.select(
+    return _token_pairs(docs).select(
         "url",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.element_at("toks", i + 1).alias("subj_surface"),
-                    F.element_at("toks", i + 2).alias("obj_surface"),
-                ),
-            )
-        ).alias("t"),
-    ).select(
-        "url",
-        F.col("t.pos").alias("pos"),
-        F.col("t.subj_surface").alias("subj_surface"),
+        "pos",
+        F.col("a").alias("subj_surface"),
         F.lit(REL_NEXT).alias("pred"),
-        F.col("t.obj_surface").alias("obj_surface"),
+        F.col("b").alias("obj_surface"),
     )

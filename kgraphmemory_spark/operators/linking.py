@@ -14,14 +14,16 @@ strategies, selected by `strategy=`:
 
 All three produce identical rows (asserted in tests/test_linking.py).
 
-Ranking (SURVEY.md §2.5 W2): best candidate per mention via
-row_number() over (url,pos,kind) ordered by score desc, entity_id — the
-reference's take-first-hit loop (kginteraction_graph.py:97-126) as a window.
+Ranking (SURVEY.md §2.5 W2): best candidate per mention — semantics of
+row_number() over (url,pos,kind) ordered by (score desc, entity_id) == 1,
+the reference's take-first-hit loop (kginteraction_graph.py:97-126) —
+implemented as a hash aggregate (min over struct) rather than a window
+sort; see comment in link_mentions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..semantics import BIGRAM_ALIASES
@@ -51,6 +53,31 @@ def discovered_alias_table(mentions: DataFrame) -> DataFrame:
     return uni.unionByName(big)
 
 
+def rank_candidates(alias_table: DataFrame) -> DataFrame:
+    """Best candidate per (surface, kind) — the W2 ranker.
+
+    Semantics: row_number() over (surface,kind ORDER BY prior DESC,
+    entity_id) == 1, expressed as min(struct(-prior, entity_id)) so it runs
+    as a partial+final hash aggregate (map-side combine), never a sort.
+    Because our link scores are a function of the surface alone (prior),
+    ranking happens ONCE per alias key — not once per mention — which
+    collapses the per-mention 10^12-row ranking shuffle to an
+    alias-cardinality aggregation.  (A context-dependent scorer would rank
+    per mention; that shape is the groupBy in ``jaccard_verify``-style
+    per-pair aggs and stays available.)
+    """
+    best = F.min(F.struct(
+        (-F.col("prior")).alias("neg_score"),
+        F.col("entity_id").alias("entity_id"),
+    )).alias("b")
+    return (
+        alias_table.groupBy("surface", "kind").agg(best)
+        .select("surface", "kind",
+                F.col("b.entity_id").alias("entity_id"),
+                (-F.col("b.neg_score")).alias("link_score"))
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     alias_table: DataFrame,
@@ -60,35 +87,28 @@ def link_mentions(
     """mentions(url,pos,surface,kind) ⋈ alias(surface,kind,entity_id,prior)
     → linked(url, pos, surface, kind, entity_id, link_score), one row per
     mention (best candidate; ties broken by entity_id asc → deterministic).
+
+    The join is 1:1 after ranking, so every strategy is a pure map/shuffle
+    join with no downstream agg.
     """
+    best = rank_candidates(alias_table)
     if strategy == "broadcast":
-        cand = mentions.join(
-            F.broadcast(alias_table), ["surface", "kind"], "inner"
-        )
+        j = mentions.join(F.broadcast(best), ["surface", "kind"], "inner")
     elif strategy == "salted":
         salted_m = mentions.withColumn(
             "_salt", F.pmod(F.xxhash64("url", "pos"), F.lit(salt)).cast("int")
         )
-        salted_a = alias_table.withColumn(
+        salted_a = best.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
-        cand = salted_m.join(
+        j = salted_m.join(
             salted_a, ["surface", "kind", "_salt"], "inner"
         ).drop("_salt")
     elif strategy == "shuffle":
-        cand = mentions.join(alias_table, ["surface", "kind"], "inner")
+        j = mentions.join(best, ["surface", "kind"], "inner")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-
-    cand = cand.withColumn("link_score", F.col("prior"))
-    w = Window.partitionBy("url", "pos", "kind").orderBy(
-        F.desc("link_score"), F.asc("entity_id")
-    )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("url", "pos", "surface", "kind", "entity_id", "link_score")
-    )
+    return j.select("url", "pos", "surface", "kind", "entity_id", "link_score")
 
 
 def link_score_histogram(linked: DataFrame, buckets: int = 10) -> DataFrame:

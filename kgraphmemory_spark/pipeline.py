@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .io.snapshots import SnapshotCatalog, lineage_by_url
 from .operators.cc import canonical_mapping
 from .operators.extraction import extract_docs, extract_mentions, extract_raw_triples
-from .operators.linking import discovered_alias_table, link_mentions
+from .operators.linking import discovered_alias_table, link_mentions, rank_candidates
 from .operators.materialize import (
     DEFAULT_GRAPH,
     build_entities,
@@ -72,13 +72,28 @@ def run_pipeline(
     workdir: str | None = None,
     link_strategy: str = "broadcast",
     graph: str = DEFAULT_GRAPH,
+    cache_intermediates: bool = True,
 ) -> KGTables:
+    """``workdir`` set → every stage is an atomic parquet snapshot (the
+    scale path: stage outputs are re-read from disk, lineage truncated).
+    ``workdir=None`` → one lazy DAG; ``cache_intermediates`` then caches
+    the SMALL stages only (docs_clean — the pandas-UDF product — and the
+    aggregated graph tables).  The wide fan-out stages (mentions,
+    raw_triples, linked: ~100 rows per doc) are deliberately NOT cached:
+    they are cheap map-side derivations of cached docs_clean, and filling
+    a columnar cache with 10^2×docs rows costs far more than the 1-2
+    rescans that consume them (measured: 25-70 s fill vs 2 s scan at 250k
+    docs / 19M mentions)."""
     cat = SnapshotCatalog(workdir) if workdir else None
     resumed: list[str] = []
+    _no_cache = {"mentions", "raw_triples", "linked"}
 
     def stage(name: str, build, lineage_extra=None) -> DataFrame:
         if cat is None:
-            return build()
+            df = build()
+            if cache_intermediates and name not in _no_cache:
+                df = df.cache()
+            return df
         if cat.committed(name):
             resumed.append(name)
             return cat.read(spark, name)
@@ -97,8 +112,12 @@ def run_pipeline(
     mentions = stage("mentions", lambda: extract_mentions(docs_clean))
     raw_triples = stage("raw_triples", lambda: extract_raw_triples(docs_clean))
 
+    # alias table: vocabulary-sized (one heavy distinct over mentions) —
+    # committed as its own snapshot / cached, since both linking and
+    # canonicalization read it
+    alias = stage("alias_table", lambda: discovered_alias_table(mentions))
+
     def _link():
-        alias = discovered_alias_table(mentions)
         return link_mentions(mentions, alias, strategy=link_strategy)
 
     linked = stage(
@@ -114,7 +133,9 @@ def run_pipeline(
     )
 
     def _canonical():
-        ents = linked.select("entity_id").distinct()
+        # entity universe from the (tiny) ranked alias table, NOT from a
+        # distinct over per-mention rows
+        ents = rank_candidates(alias).select("entity_id").distinct()
         return canonical_mapping(ents, same_as_edges(spark))
 
     canonical = stage("canonical_map", _canonical)
@@ -132,6 +153,8 @@ def run_pipeline(
 
     if cat is None:
         frames, slots = build_frames_slots(relations)
+        if cache_intermediates:
+            frames, slots = frames.cache(), slots.cache()
     else:
         if cat.committed("frames") and cat.committed("slots"):
             resumed += ["frames", "slots"]

@@ -53,12 +53,8 @@ def kg_tables(spark: SparkSession, sf_dir: str):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _KG_CACHE:
         pages = pages_from_documents(load(spark, sf_dir, "documents"))
-        kg = run_pipeline(spark, pages, link_strategy="broadcast")
-        for name in ("docs_clean", "mentions", "raw_triples", "linked",
-                     "entities", "relations", "frames", "slots", "triples",
-                     "provenance"):
-            setattr(kg, name, getattr(kg, name).cache())
-        _KG_CACHE[key] = kg
+        # run_pipeline(cache_intermediates=True) caches every stage
+        _KG_CACHE[key] = run_pipeline(spark, pages, link_strategy="broadcast")
     return _KG_CACHE[key]
 
 

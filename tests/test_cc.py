@@ -32,9 +32,14 @@ def _cc_oracle(edges):
 
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r.node: r.component for r in connected_components(df).collect()}
     want = _cc_oracle(edges)
-    assert got == want, f"{got} != {want}"
+    # driver union-find path (small-graph cutover)
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want, f"driver path: {got} != {want}"
+    # distributed alternating-star path (force it)
+    got_d = {r.node: r.component
+             for r in connected_components(df, driver_threshold=0).collect()}
+    assert got_d == want, f"distributed path: {got_d} != {want}"
 
 
 def test_chain(spark):

@@ -48,7 +48,7 @@ def test_partial_resume_after_kill(spark, workdir):
 
     kg2 = run_pipeline(spark, pages, workdir=workdir)
     assert set(kg2.stages_resumed) == {"docs_clean", "mentions",
-                                       "raw_triples", "linked"}
+                                       "raw_triples", "alias_table", "linked"}
     assert _rel_set(kg2) == want
 
 
