@@ -11,10 +11,13 @@ local[$SPARK_GRAFT_CPUS]:
 - minhash_lsh         — near-dup candidate generation over documents
 
 Scaling evidence (north rule: ≥0.8 efficiency N→4N executors; sandbox
-proxy per driver instruction): the same pipeline job runs in TWO fresh
-subprocesses at local[8] and local[32] over an identical deterministic
-synthetic corpus; efficiency = (T8 / T32) / 4.  Reported in the JSON line
-under "scaling" and appended to BENCH history in BASELINE.md by hand.
+proxy per driver instruction "N and 4N cores"): the same pipeline job runs
+in TWO fresh subprocesses at local[4] and local[16] over an identical
+deterministic synthetic corpus (~800k pages, ~58M raw triples);
+efficiency = (T4 / T16) / 4.  local[32] is NOT usable for the upper point:
+the sandbox host carries external load (loadavg ~10 with no process of
+ours), so 32 threads oversubscribe the box and anti-scale; 4→16 leaves
+headroom.  Reported under "scaling" with host loadavg for transparency.
 
 Usage:  python bench.py [--no-scaling] [--scaling-pages N]
 """
@@ -80,7 +83,7 @@ def _headline(spark) -> tuple[dict, dict]:
     return times, extra
 
 
-def _scaling_child(cores: int, pages: int, reps: int = 2) -> float:
+def _scaling_child(cores: int, pages: int, reps: int = 2) -> tuple[float, int]:
     """Run the pipeline job in a fresh subprocess at local[cores].
 
     The sandbox host carries bursty EXTERNAL load (loadavg >10 with no
@@ -97,7 +100,7 @@ from kgraphmemory_spark.pipeline import run_pipeline
 # identical input (fixed 256-way deterministic generation); shuffle width
 # scales with the "cluster" as it would on a real N->4N resize
 spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores})
-pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=256)
+pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=64)
 pages.cache().count()  # corpus generation excluded from the measured window
 best = None
 for _ in range({reps}):
@@ -109,20 +112,22 @@ for _ in range({reps}):
     kg.entities.count(); kg.triples.count()
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
-print("ELAPSED", best, n)
+n_raw = kg.raw_triples.count()
+print("ELAPSED", best, n, n_raw)
 spark.stop()
 """
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("ELAPSED"):
-            return float(line.split()[1])
+            parts = line.split()
+            return float(parts[1]), int(parts[3])
     raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
 
 
 def main() -> None:
     no_scaling = "--no-scaling" in sys.argv
-    scaling_pages = 8000
+    scaling_pages = 800_000
     for i, a in enumerate(sys.argv):
         if a == "--scaling-pages":
             scaling_pages = int(sys.argv[i + 1])
@@ -148,17 +153,20 @@ def main() -> None:
 
     if not no_scaling:
         load_before = open("/proc/loadavg").read().split()[:3]
-        t8 = _scaling_child(8, scaling_pages)
-        t32 = _scaling_child(32, scaling_pages)
+        t_n, n_raw = _scaling_child(4, scaling_pages)
+        t_4n, _ = _scaling_child(16, scaling_pages)
         load_after = open("/proc/loadavg").read().split()[:3]
         result["scaling"] = {
             "pages": scaling_pages,
-            "local8_sec": round(t8, 2),
-            "local32_sec": round(t32, 2),
-            "speedup_8_to_32": round(t8 / t32, 3),
-            "efficiency": round((t8 / t32) / 4.0, 3),
+            "local4_sec": round(t_n, 2),
+            "local16_sec": round(t_4n, 2),
+            "raw_triples": n_raw,
+            "triples_per_sec_16c": round(n_raw / t_4n, 1),
+            "speedup_n_to_4n": round(t_n / t_4n, 3),
+            "efficiency": round((t_n / t_4n) / 4.0, 3),
             "note": "sandbox proxy for N→4N executors (driver instruction); "
-                    "min of 2 reps per config (host has external load)",
+                    "min of 2 reps per config; 4→16 cores used because the "
+                    "host carries external load that oversubscribes local[32]",
             "host_loadavg_before": load_before,
             "host_loadavg_after": load_after,
         }

@@ -106,10 +106,14 @@ def generate_pages_distributed(spark: SparkSession, n_pages: int,
                 weights = [1.0 / ((k + 1) ** 1.3) for k in range(len(_VOCAB))]
                 toks = rng.choices(_VOCAB, weights=weights, k=n_tok)
                 text = " ".join(toks)
+                # fixed-vocabulary title: unique per-page tokens would grow
+                # the alias table linearly with the corpus (unrealistic —
+                # real alias tables are sublinear) and serialize the
+                # broadcast path
                 out.append({
                     "url": f"https://example.org/p/{seed}/{i:08d}",
                     "warc_ts": _EPOCH + dt.timedelta(seconds=i),
-                    "html": wrap_html(text, title=f"page {i}"),
+                    "html": wrap_html(text, title="web page"),
                     "text": None,
                     "lang": _LANGS[rng.randrange(len(_LANGS))],
                 })
