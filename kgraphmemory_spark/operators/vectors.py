@@ -1,0 +1,142 @@
+"""Vector-record materialization + hybrid search — the reference's vector
+store write path and query surface re-expressed set-oriented (SURVEY.md
+§2.1 S15-S17, §2.2 P11-P12, §2.3 J6, §3.2-3.3).
+
+Reference semantics mirrored:
+- multi-vector mappings: per-type {vector_id → [property names]} config
+  drives one record per (object, vector_id) with text = mapped properties
+  joined by ' ' (/root/reference/kgraphmemory/kgraph.py:424-442,
+  default_vector_mappings.py:5-136);
+- record id = uuid5(NAMESPACE_URL, f"{uri}#{vector_id}") (kgraph.py:82-88)
+  — exact parity via the uuid5 pandas UDF;
+- embedding via the pluggable model, batched (`vectorize(list)`,
+  kgraph_vector_db.py:123-170) — here the deterministic hash embedder
+  (functions/vector.embed_text_udf), one Arrow batch per call instead of
+  the reference's one-model-call-per-object (kgraph.py:77-88);
+- metadata payload: uri + vector_id + the mapped property values
+  (kgraph_vector_db.py:106-114, keys per kgraph.py:409-419);
+- hybrid search: vector candidates constrained by a graph-side predicate —
+  the reference loops one SPARQL ASK per candidate (kgraph.py:322-346);
+  here ONE left-semi join then top-k (no N+1).
+
+At 10^12-doc scale the vectors table is written partitioned by vector_id
+(query narrows to one partition, kgraph.py:262-265 `filters['vector_id']`)
+and the kNN is a partition-pruned scan + TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ids import vector_record_id_col
+from ..functions.vector import cosine_to_literal, embed_text, embed_text_udf
+
+# Default mapping for materialized KG entities — mirrors the KGEntity entry
+# of default_vector_mappings.py:5-136 (name vector + type vector + general).
+ENTITY_VECTOR_MAPPINGS: dict[str, list[str]] = {
+    "entity_value": ["name"],
+    "entity_type": ["entity_type"],
+    "general": ["name", "entity_type"],
+}
+
+
+def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
+                         mappings: dict[str, list[str]] | None = None) -> DataFrame:
+    """objects (wide rows) → vectors(record_id, uri, vector_id, text,
+    vector, metadata).
+
+    One `explode` of the mapping config per row (the config is a plan-time
+    constant — no join), then ONE batched embedding UDF pass.
+    """
+    mappings = mappings or ENTITY_VECTOR_MAPPINGS
+    uri = F.col(uri_col).cast("string")
+    variants = F.array(*[
+        F.struct(
+            F.lit(vid).alias("vector_id"),
+            F.concat_ws(" ", *[F.col(p) for p in props]).alias("text"),
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in props]),
+                F.array(*[F.col(p).cast("string") for p in props]),
+            ).alias("mapped"),
+        )
+        for vid, props in sorted(mappings.items())
+    ])
+    exploded = objects.select(
+        uri.alias("uri"), F.explode(variants).alias("v")
+    ).select(
+        "uri",
+        F.col("v.vector_id").alias("vector_id"),
+        F.col("v.text").alias("text"),
+        F.map_concat(
+            F.create_map(F.lit("uri"), F.col("uri"),
+                         F.lit("vector_id"), F.col("v.vector_id")),
+            F.col("v.mapped"),
+        ).alias("metadata"),
+    )
+    return exploded.select(
+        vector_record_id_col(F.col("uri"), F.col("vector_id")).alias("record_id"),
+        "uri", "vector_id", "text",
+        embed_text_udf(F.col("text")).alias("vector"),
+        "metadata",
+    )
+
+
+def knn(vectors: DataFrame, query_text: str, k: int = 10,
+        vector_id: str | None = None,
+        metadata_filters: dict | None = None,
+        score_threshold: float | None = None) -> DataFrame:
+    """`search_by_text` (kgraph_vector_db.py:172-229): embed the query on
+    the driver, scan distributed.  Filters mirror `_build_filter`
+    (kgraph_vector_db.py:231-263): exact match / `in` list / range dicts
+    with gte/lte/gt/lt keys — all pushed below the similarity projection."""
+    out = vectors
+    if vector_id is not None:
+        out = out.where(F.col("vector_id") == vector_id)
+    for key, cond in (metadata_filters or {}).items():
+        col = F.col("metadata")[key]
+        if isinstance(cond, dict):
+            if "gte" in cond:
+                out = out.where(col >= str(cond["gte"]))
+            if "lte" in cond:
+                out = out.where(col <= str(cond["lte"]))
+            if "gt" in cond:
+                out = out.where(col > str(cond["gt"]))
+            if "lt" in cond:
+                out = out.where(col < str(cond["lt"]))
+        elif isinstance(cond, (list, tuple, set)):
+            out = out.where(col.isin(*[str(c) for c in cond]))
+        else:
+            out = out.where(col == str(cond))
+    qvec = embed_text(query_text)
+    out = out.select(
+        "record_id", "uri", "vector_id",
+        F.round(cosine_to_literal(F.col("vector").cast("array<double>"), qvec), 6)
+        .alias("score"),
+    )
+    if score_threshold is not None:
+        out = out.where(F.col("score") >= score_threshold)
+    return out.orderBy(F.desc("score"), F.asc("record_id")).limit(k)
+
+
+def hybrid_search(vectors: DataFrame, graph_candidates: DataFrame,
+                  query_text: str, k: int = 10,
+                  vector_id: str | None = None,
+                  uri_col: str = "entity_id") -> DataFrame:
+    """Hybrid search (kgraph.py:296-346) with the ASK-per-candidate loop
+    replaced by one left-semi join: `graph_candidates` is any DataFrame of
+    URIs satisfying the graph-side predicate (the materialized form of the
+    SPARQL filter); fetch-2k-then-filter (kgraph.py:315) is unnecessary —
+    the semi join runs below the top-k."""
+    cand = graph_candidates.select(F.col(uri_col).cast("string").alias("uri")).distinct()
+    out = vectors.join(F.broadcast(cand), "uri", "left_semi")
+    if vector_id is not None:
+        out = out.where(F.col("vector_id") == vector_id)
+    qvec = embed_text(query_text)
+    return (
+        out.select(
+            "record_id", "uri", "vector_id",
+            F.round(cosine_to_literal(F.col("vector").cast("array<double>"), qvec), 6)
+            .alias("score"))
+        .orderBy(F.desc("score"), F.asc("record_id")).limit(k)
+    )

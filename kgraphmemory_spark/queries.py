@@ -213,7 +213,7 @@ def q_kg_frames(spark, sf):
     )
 
 
-@register("kg_triples_long", f"""
+SQL_TRIPLES_LONG = f"""
   WITH ents AS ({SQL_ENTITIES}), rels AS ({SQL_RELATIONS}),
   frames AS (
     SELECT 'frame:' || substr(sha256(subj || '|' || pred || '|' || obj), 1, 24) AS frame_uri,
@@ -237,7 +237,10 @@ def q_kg_frames(spark, sf):
   UNION ALL
   SELECT frame_uri, 'http://vital.ai/ontology/vital-core#hasEdgeDestination',
          obj, 'urn:graph:web' FROM frames
-""")
+"""
+
+
+@register("kg_triples_long", SQL_TRIPLES_LONG)
 def q_kg_triples(spark, sf):
     """Long-format quad-store content (kgraph_rdf_db.py:576-593 emission)."""
     return kg_tables(spark, sf).triples
@@ -920,6 +923,318 @@ def q_t4(spark, sf):
     """64-bit doc fingerprint (engine hash — rows-only check)."""
     d = load(spark, sf, "documents")
     return d.select("doc_id", TX.fingerprint64(F.col("text")).alias("fp64"))
+
+
+@register("j2_frame_slots", f"""
+  WITH rels AS ({SQL_RELATIONS}), ents AS ({SQL_ENTITIES})
+  SELECT 'frame:' || substr(sha256(subj || '|' || pred || '|' || obj), 1, 24)
+           AS frame_uri,
+         subj AS source_entity, e.name AS source_name,
+         obj AS destination_entity
+  FROM rels LEFT JOIN ents e ON e.entity_id = rels.subj
+""")
+def q_j2(spark, sf):
+    """J2 + J5: typed frame→slot expansion with OPTIONAL attribute
+    (kgraph_frame_bridge.py:289-323: inner joins to slots, left join for
+    the optional value column)."""
+    kg = kg_tables(spark, sf)
+    src = kg.slots.where(F.col("slot_type") == SLOT_SOURCE).select(
+        "frame_uri", F.col("entity_value").alias("source_entity"))
+    dst = kg.slots.where(F.col("slot_type") == SLOT_DESTINATION).select(
+        "frame_uri", F.col("entity_value").alias("destination_entity"))
+    names = kg.entities.select(F.col("entity_id").alias("source_entity"),
+                               F.col("name").alias("source_name"))
+    return (
+        kg.frames.select("frame_uri")
+        .join(src, "frame_uri").join(dst, "frame_uri")
+        .join(names, "source_entity", "left")
+        .select("frame_uri", "source_entity", "source_name",
+                "destination_entity")
+    )
+
+
+@register("kg_stats", f"""
+  SELECT 'urn:graph:web' AS graph,
+         (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_ENTITIES})) AS n_entities,
+         (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_RELATIONS})) AS n_relations,
+         (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_TRIPLES_LONG})) AS n_triples,
+         (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_DOCS})) AS n_docs
+""")
+def q_kg_stats(spark, sf):
+    """A7/S14: per-graph store statistics roll-up (kgraph.py:503-517
+    get_stats + count_triples kgraph_rdf_db.py:549-556)."""
+    kg = kg_tables(spark, sf)
+    g = kg.triples.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
+    return (
+        g.crossJoin(kg.entities.agg(F.count(F.lit(1)).alias("n_entities")))
+        .crossJoin(kg.relations.agg(F.count(F.lit(1)).alias("n_relations")))
+        .crossJoin(kg.docs_clean.agg(F.count(F.lit(1)).alias("n_docs")))
+        .select("graph", "n_entities", "n_relations", "n_triples", "n_docs")
+    )
+
+
+# ===================== store CRUD + RDF I/O (S1-S20) ======================
+
+@register("s1_object_roundtrip", """
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS uri,
+         'urn:kg:Nation' AS rdf_type,
+         CAST(n_nationkey AS BIGINT) AS n_nationkey,
+         n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+  FROM nation
+""")
+def q_s1(spark, sf):
+    """S1/S2 + §1.3: wide objects → long triples → reconstructed objects
+    (the reference's add_object emission kgraph_rdf_db.py:576-593 and batch
+    rebuild kgraph_rdf_db.py:648-729, round-tripped set-oriented)."""
+    from .operators.store import objects_to_triples, triples_to_objects
+    n = load(spark, sf, "nation").withColumn(
+        "uri", F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")))
+    tr = objects_to_triples(n, uri_col="uri", type_uri="urn:kg:Nation",
+                            graph="urn:graph:tpch",
+                            property_cols=["n_nationkey", "n_name", "n_regionkey"])
+    wide = triples_to_objects(
+        tr, property_names=["n_nationkey", "n_name", "n_regionkey"])
+    return wide.select(
+        "uri", "rdf_type",
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+
+@register("s4_remove_cascade", f"""
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n
+  FROM ({SQL_TRIPLES_LONG})
+  WHERE subject != 'ent:the' AND object != 'ent:the'
+  GROUP BY predicate
+""")
+def q_s4(spark, sf):
+    """S4: remove_object with dangling-edge cleanup (kgraph.py:147-181:
+    delete where subject=URI AND where object=URI) — remaining triple
+    census by predicate."""
+    from .operators.store import remove_object
+    return (
+        remove_object(kg_tables(spark, sf).triples, "ent:the")
+        .groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("s7_triple_pattern", f"""
+  SELECT entity_id AS subject,
+         'http://vital.ai/ontology/vital-core#hasName' AS predicate,
+         name AS object, 'urn:graph:web' AS graph
+  FROM ({SQL_ENTITIES})
+""")
+def q_s7(spark, sf):
+    """S7/P1: triple pattern scan with bound predicate, wildcard elsewhere
+    (kgraph_rdf_db.py:128-162) — pushed-down equality on the scan."""
+    from .operators.store import get_triples
+    from .semantics import HAS_NAME
+    return get_triples(kg_tables(spark, sf).triples, p=HAS_NAME)
+
+
+@register("s9_nt_roundtrip", SQL_TRIPLES_LONG)
+def q_s9(spark, sf):
+    """S9-S13/S19: serialize the triple store to N-Quads lines and parse
+    them back (the reference's hand-rolled per-line Python parser
+    kgraph_rdf_db.py:839-1034 as JVM-side regexp) — roundtrip identity."""
+    from .io.rdf import parse_lines, serialize_lines
+    lines = serialize_lines(kg_tables(spark, sf).triples, fmt="nquads")
+    return parse_lines(lines).select("subject", "predicate", "object", "graph")
+
+
+# ===================== multi-vector / hybrid (S15-S17, J6) ================
+
+@register("kg_vector_texts", f"""
+  SELECT entity_id AS uri, 'entity_value' AS vector_id, name AS text
+  FROM ({SQL_ENTITIES})
+  UNION ALL
+  SELECT entity_id, 'entity_type', entity_type FROM ({SQL_ENTITIES})
+  UNION ALL
+  SELECT entity_id, 'general', name || ' ' || entity_type
+  FROM ({SQL_ENTITIES})
+""")
+def q_kg_vtexts(spark, sf):
+    """Multi-vector text assembly (kgraph.py:424-442): mapping-driven
+    per-vector_id property concat over materialized entities."""
+    from .operators.vectors import build_vector_records
+    return build_vector_records(kg_tables(spark, sf).entities).select(
+        "uri", "vector_id", "text")
+
+
+@register("kg_hybrid_search")
+def q_kg_hybrid(spark, sf):
+    """J6 hybrid search: kNN over entity vectors constrained to a graph-side
+    candidate set via ONE left-semi join (replaces the reference's
+    ASK-per-candidate loop, kgraph.py:322-346).  uuid5 ids + hash embedder
+    → rows-only here; exactness asserted vs a brute-force python oracle in
+    tests/test_vectors.py."""
+    from .operators.vectors import build_vector_records, hybrid_search
+    kg = kg_tables(spark, sf)
+    vectors = build_vector_records(kg.entities)
+    phrases = kg.entities.where(F.col("entity_type") == "urn:kg:Phrase")
+    return hybrid_search(vectors, phrases, "hash join", k=5,
+                         vector_id="entity_value")
+
+
+@register("v4_lsh_ann")
+def q_v4(spark, sf):
+    """LSH-bucketed ANN (scale path: probe 1/2^bits of the data; recall vs
+    brute force asserted in tests/test_dedup_similarity.py)."""
+    from .operators.similarity import lsh_index, lsh_topk
+    e = load(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, planes = lsh_index(e.where(F.col("vec_id") != 0), dim=64, bits=4)
+    return lsh_topk(indexed, planes, qvec, k=10)
+
+
+@register("v5_ivf_ann")
+def q_v5(spark, sf):
+    """IVF-style ANN: seeded centroids, nprobe nearest clusters probed."""
+    from .operators.similarity import ivf_index, ivf_topk
+    e = load(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, cents = ivf_index(e.where(F.col("vec_id") != 0), dim=64,
+                               n_centroids=8)
+    return ivf_topk(indexed, cents, qvec, k=10, nprobe=4)
+
+
+# ===================== multimodal (training-data pipeline) ================
+
+@register("m1_media_decode", """
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS media_type,
+         CAST(16 + doc_id % 64 AS INT) AS width,
+         CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+         sha256(text) AS payload_sha
+  FROM documents
+""")
+def q_m1(spark, sf):
+    """Multimodal decode: binary media column → typed metadata via
+    Arrow-batched mapInPandas (deterministic KGMM container; real codec
+    backends are explicit stubs — operators/multimodal.py)."""
+    from .operators.multimodal import decode_media, synth_media
+    return decode_media(synth_media(load(spark, sf, "documents")))
+
+
+@register("m2_frame_sample", """
+  SELECT doc_id, CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 4.0)
+                      AS BIGINT) AS n_sampled
+  FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+""")
+def q_m2(spark, sf):
+    """Multimodal frame sampling: every 4th fixed-size frame of each video
+    payload (one row fans out inside the Arrow batch)."""
+    from .operators.multimodal import sample_frames, synth_media
+    return (
+        sample_frames(synth_media(load(spark, sf, "documents")), every_n=4)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register("m3_media_features")
+def q_m3(spark, sf):
+    """Multimodal feature extraction (fake backend: byte-histogram; numpy
+    inside the Arrow batch).  Array<double> output — rows-only; values
+    asserted vs numpy oracle in tests/test_multimodal.py."""
+    from .operators.multimodal import extract_features, synth_media
+    return extract_features(synth_media(load(spark, sf, "documents")))
+
+
+# ===================== §2 coverage extras =================================
+
+@register("p10_bind_if_exists", """
+  SELECT c_custkey,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 100000)
+              THEN 'active' ELSE 'inactive' END AS status
+  FROM customer c WHERE c_custkey <= 200
+""")
+def q_p10(spark, sf):
+    """P10: BIND(IF(EXISTS{...})) (docs/sparql-examples.md:288) — EXISTS
+    flag via distinct-key left join + when()."""
+    c = load(spark, sf, "customer").where(F.col("c_custkey") <= 200)
+    o = (load(spark, sf, "orders").where(F.col("o_totalprice") > 100000)
+         .select(F.col("o_custkey").alias("c_custkey")).distinct()
+         .withColumn("_hit", F.lit(1)))
+    return (
+        c.join(F.broadcast(o), "c_custkey", "left")
+        .select("c_custkey",
+                F.when(F.col("_hit").isNotNull(), "active")
+                .otherwise("inactive").alias("status"))
+    )
+
+
+@register("a8_pivot", """
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+  FROM orders GROUP BY o_orderpriority
+""")
+def q_a8(spark, sf):
+    """A8: count-by-status bucketing as a pivot (kgraph_task_bridge.py:
+    243-269 status roll-up)."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"]).count()
+        .select("o_orderpriority",
+                F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+                F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+                F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"))
+    )
+
+
+@register("a9_first_wins", """
+  SELECT l_orderkey,
+         CAST((min(struct_pack(ln := l_linenumber, pk := l_partkey))).pk
+              AS BIGINT) AS first_part
+  FROM lineitem GROUP BY l_orderkey
+""")
+def q_a9(spark, sf):
+    """A9: first-wins dedup by key (kgraph_frame_bridge.py:347-374) as a
+    hash aggregate (min over struct — fully deterministic even when the
+    order key ties), never a sort."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.struct(F.col("l_linenumber").alias("ln"),
+                            F.col("l_partkey").alias("pk"))).alias("b"))
+        .select("l_orderkey", F.col("b.pk").alias("first_part"))
+    )
+
+
+@register("f3_regexp_strip", """
+  SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+  FROM customer WHERE c_custkey <= 100
+""")
+def q_f3(spark, sf):
+    """F3: term cleanup via regexp_replace (kgraph_bridge_utilities.py:
+    346-348 angle-bracket/quote stripping)."""
+    return (
+        load(spark, sf, "customer").where(F.col("c_custkey") <= 100)
+        .select("c_custkey",
+                F.regexp_replace("c_name", "[^0-9]", "").alias("digits"))
+    )
+
+
+@register("u3_intersect", """
+  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1994'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1995'
+""")
+def q_u3(spark, sf):
+    """U3: set intersection (vector hits ∩ adjacency,
+    kginteraction_graph.py:49-53) — INTERSECT ≡ semi-join on distinct keys."""
+    o = load(spark, sf, "orders")
+    y94 = o.where(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

