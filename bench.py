@@ -14,10 +14,14 @@ Scaling evidence (north rule: ≥0.8 efficiency N→4N executors; sandbox
 proxy per driver instruction "N and 4N cores"): the same pipeline job runs
 in TWO fresh subprocesses at local[4] and local[16] over an identical
 deterministic synthetic corpus (~800k pages, ~58M raw triples);
-efficiency = (T4 / T16) / 4.  local[32] is NOT usable for the upper point:
-the sandbox host carries external load (loadavg ~10 with no process of
-ours), so 32 threads oversubscribe the box and anti-scale; 4→16 leaves
-headroom.  Reported under "scaling" with host loadavg for transparency.
+efficiency = (T4 / T16) / 4, min of 3 reps with per-rep host loadavg
+recorded.  local[32] is NOT usable for the upper point: the sandbox host
+carries bursty external load (loadavg >10 with no process of ours), so 32
+threads oversubscribe the box and anti-scale; 4→16 leaves headroom.  A
+pure-CPU multiprocessing probe measures the box's own 4→16 scaling
+ceiling at the same moment (~0.87 quiet: SMT sharing above 16 busy
+threads), reported as `cpu_probe` so the job's efficiency can be read
+against what the hardware itself gives.
 
 Usage:  python bench.py [--no-scaling] [--scaling-pages N]
 """
@@ -83,51 +87,87 @@ def _headline(spark) -> tuple[dict, dict]:
     return times, extra
 
 
-def _scaling_child(cores: int, pages: int, reps: int = 2) -> tuple[float, int]:
+def _burn(secs: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < secs:
+        x += 1
+    return x
+
+
+def _cpu_scaling_probe(lo: int = 4, hi: int = 16,
+                       secs: float = 3.0) -> dict:
+    """Measure what THIS machine's raw CPU gives for lo→hi workers right
+    now (SMT + turbo + external load put the hardware ceiling well below
+    1.0 — e.g. ~0.87 measured quiet at 4→16 on this 32-logical-core box).
+    Contextualizes the Spark job's efficiency number."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            total = sum(p.map(_burn, [secs] * n))
+            rates[n] = total / (time.time() - t0)
+    return {
+        f"mp{lo}_rate": round(rates[lo] / 1e6, 2),
+        f"mp{hi}_rate": round(rates[hi] / 1e6, 2),
+        "hardware_efficiency": round(rates[hi] / rates[lo] / (hi // lo), 3),
+    }
+
+
+def _scaling_child(cores: int, pages: int, reps: int = 3) -> tuple[float, int, list]:
     """Run the pipeline job in a fresh subprocess at local[cores].
 
     The sandbox host carries bursty EXTERNAL load (loadavg >10 with no
     process of ours running has been observed), so each child measures
-    ``reps`` runs and reports the min — the standard defense against
-    noisy-neighbor wall-clock.
+    ``reps`` runs, records host loadavg around each, and reports the min —
+    the standard defense against noisy-neighbor wall-clock.
     """
     code = f"""
-import time, sys
+import json, time, sys
 sys.path.insert(0, "/root/repo")
 from kgraphmemory_spark.session import get_spark
 from kgraphmemory_spark.datagen import generate_pages_distributed
 from kgraphmemory_spark.pipeline import run_pipeline
-# identical input (fixed 256-way deterministic generation); shuffle width
+# identical input (fixed 64-way deterministic generation); shuffle width
 # scales with the "cluster" as it would on a real N->4N resize
 spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores})
 pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=64)
 pages.cache().count()  # corpus generation excluded from the measured window
-best = None
+rep_stats = []
 for _ in range({reps}):
     spark.catalog.clearCache()
     pages.cache().count()
+    l0 = float(open("/proc/loadavg").read().split()[0])
     t0 = time.time()
     kg = run_pipeline(spark, pages, link_strategy="salted")
     n = kg.relations.count()
     kg.entities.count(); kg.triples.count()
     dt = time.time() - t0
-    best = dt if best is None else min(best, dt)
+    rep_stats.append({{"sec": round(dt, 2), "load_before": l0,
+                       "load_after": float(open("/proc/loadavg").read().split()[0])}})
 n_raw = kg.raw_triples.count()
-print("ELAPSED", best, n, n_raw)
+print("ELAPSED", json.dumps({{"reps": rep_stats, "relations": n,
+                              "raw_triples": n_raw}}))
 spark.stop()
 """
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1800)
+                         text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("ELAPSED"):
-            parts = line.split()
-            return float(parts[1]), int(parts[3])
+            payload = json.loads(line[len("ELAPSED "):])
+            best = min(r["sec"] for r in payload["reps"])
+            return best, payload["raw_triples"], payload["reps"]
     raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
 
 
 def main() -> None:
     no_scaling = "--no-scaling" in sys.argv
-    scaling_pages = 800_000
+    # 2M pages (~150M raw triples): large enough that the ~15 s serial
+    # floor (JVM/job latency + CC + broadcasts) stays under 20% of the
+    # local[16] wall, which is what the efficiency number actually measures
+    scaling_pages = 2_000_000
     for i, a in enumerate(sys.argv):
         if a == "--scaling-pages":
             scaling_pages = int(sys.argv[i + 1])
@@ -152,23 +192,29 @@ def main() -> None:
     }
 
     if not no_scaling:
-        load_before = open("/proc/loadavg").read().split()[:3]
-        t_n, n_raw = _scaling_child(4, scaling_pages)
-        t_4n, _ = _scaling_child(16, scaling_pages)
-        load_after = open("/proc/loadavg").read().split()[:3]
+        cpu = _cpu_scaling_probe()
+        t_n, n_raw, reps_n = _scaling_child(4, scaling_pages)
+        t_4n, _, reps_4n = _scaling_child(16, scaling_pages)
+        eff = round((t_n / t_4n) / 4.0, 3)
         result["scaling"] = {
             "pages": scaling_pages,
             "local4_sec": round(t_n, 2),
             "local16_sec": round(t_4n, 2),
+            "local4_reps": reps_n,
+            "local16_reps": reps_4n,
             "raw_triples": n_raw,
             "triples_per_sec_16c": round(n_raw / t_4n, 1),
             "speedup_n_to_4n": round(t_n / t_4n, 3),
-            "efficiency": round((t_n / t_4n) / 4.0, 3),
+            "efficiency": eff,
+            "cpu_probe": cpu,
+            "efficiency_vs_hardware": round(
+                eff / cpu["hardware_efficiency"], 3)
+            if cpu["hardware_efficiency"] > 0 else None,
             "note": "sandbox proxy for N→4N executors (driver instruction); "
-                    "min of 2 reps per config; 4→16 cores used because the "
-                    "host carries external load that oversubscribes local[32]",
-            "host_loadavg_before": load_before,
-            "host_loadavg_after": load_after,
+                    "min of 3 reps per config with per-rep host loadavg; "
+                    "4→16 cores because external load oversubscribes "
+                    "local[32]; cpu_probe = this box's raw 4→16 "
+                    "multiprocessing ceiling at measurement time",
         }
 
     print(json.dumps(result))

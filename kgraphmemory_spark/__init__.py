@@ -9,12 +9,16 @@ designed for 100 TB-scale corpora:
 - ``semantics``   — the pure-Python single-node oracle (rule-set webtext-v1)
 - ``pipeline``    — extract → link → canonicalize → materialize, with
                     snapshot checkpoints and per-partition lineage
-- ``operators``   — linking join (salted), connected components,
-                    dedup family, similarity search, graph query builders
+- ``operators``   — linking join (salted), connected components, store
+                    CRUD (object↔triple pivot), dedup family, similarity
+                    search (brute/LSH/IVF), multi-vector + hybrid search,
+                    multimodal decode/features/frames
 - ``functions``   — pandas/Arrow UDFs (extraction, embedding, ids) and
                     JVM-side column helpers (cosine, text stats)
-- ``sources``     — N-Triples/N-Quads distributed parser + serializer
 - ``io``          — snapshot catalog (parquet + manifest; Iceberg-shaped)
+                    and N-Triples/N-Quads distributed parser + serializer
+- ``streaming``   — Structured Streaming incremental ingest (foreachBatch)
+- ``queries``     — driver-facing registry (queries() / oracle_sql())
 """
 
 __version__ = "0.1.0"

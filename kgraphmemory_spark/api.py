@@ -1,0 +1,148 @@
+"""KGraphView — the reference's query API surface as DataFrame builders.
+
+A user of `vital-ai/kgraphmemory` interacts through `KGraph` / `KGraphBridge`
+methods (/root/reference/kgraphmemory/kgraph.py, kgraph_bridge_utilities.py);
+this facade gives each of the read-side methods a set-oriented twin over the
+materialized graph tables (`pipeline.KGTables`).  Per-URI getters return
+1-row DataFrames instead of objects; every method is lazy (a plan, not a
+result), so callers compose further before one action.
+
+Method parity map (reference → here):
+- get_object / get_object_by_uri (kgraph.py:536-547) → ``get_object``
+- get_objects_batch / get_object_list (kgraph.py:549-573) → ``get_objects``
+  (ONE join, not the reference's per-subject probe loop)
+- get_objects_by_type (kgraph_bridge_utilities.py:354-395) → ``objects_by_type``
+- get_linked_objects (kgraph_bridge_utilities.py:304-352) → ``linked_objects``
+- filter_by_property (kgraph_bridge_utilities.py:697-745) → ``filter_by_property``
+- get_object_type (kgraph_bridge_utilities.py:763-788) → ``object_type``
+- sparql_ask (kgraph.py:212-222) → ``ask``
+- vector_search / vector_search_by_type (kgraph.py:224-272) → ``vector_search``
+- hybrid_search (kgraph.py:296-346) → ``hybrid_search`` (semi-join, no N+1)
+- get_object_vectors (kgraph.py:462-485) → ``object_vectors``
+- get_stats (kgraph.py:503-517) → ``stats``
+- frame traversal entity→frame→slot (kgraph_frame_bridge.py:289-323) →
+  ``frames_for_entity`` / ``frame_slots``
+
+Write-side methods (add/update/remove) live in ``operators.store`` — they
+are table transforms committed through the snapshot catalog, not mutations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.vectors import build_vector_records
+from .operators.vectors import hybrid_search as _hybrid
+from .operators.vectors import knn as _knn
+from .pipeline import KGTables
+from .semantics import RDF_TYPE, SLOT_DESTINATION, SLOT_SOURCE
+
+
+class KGraphView:
+    """Read-side query facade over one materialized graph."""
+
+    def __init__(self, kg: KGTables, vectors: DataFrame | None = None):
+        self.kg = kg
+        # vectors materialize lazily on first use (multi-vector records
+        # over the entities table, uuid5 ids — operators/vectors.py)
+        self._vectors = vectors
+
+    # -- object access -------------------------------------------------
+
+    def get_object(self, uri: str) -> DataFrame:
+        return self.kg.entities.where(F.col("entity_id") == uri)
+
+    def get_objects(self, uris: list[str]) -> DataFrame:
+        spark = self.kg.entities.sparkSession
+        want = spark.createDataFrame([(u,) for u in uris], "entity_id string")
+        return self.kg.entities.join(F.broadcast(want), "entity_id", "left_semi")
+
+    def objects_by_type(self, entity_type: str,
+                        limit: int | None = None) -> DataFrame:
+        out = self.kg.entities.where(F.col("entity_type") == entity_type)
+        return out.limit(limit) if limit else out
+
+    def object_type(self, uri: str) -> DataFrame:
+        """URI → its rdf:type rows (registry-lookup J9 — derived from the
+        triples table, no separate registry state)."""
+        return self.kg.triples.where(
+            (F.col("subject") == uri) & (F.col("predicate") == RDF_TYPE)
+        ).select(F.col("subject").alias("uri"),
+                 F.col("object").alias("entity_type"))
+
+    def filter_by_property(self, prop_col: str, value) -> DataFrame:
+        return self.kg.entities.where(F.col(prop_col) == value)
+
+    def ask(self, predicate_df: DataFrame) -> bool:
+        """SPARQL ASK twin: does any row satisfy the pattern?  (The
+        reference evaluates ASK per candidate in a loop; batch callers
+        should use hybrid_search's semi-join instead.)"""
+        return predicate_df.limit(1).count() > 0
+
+    # -- graph traversal ------------------------------------------------
+
+    def linked_objects(self, uri: str, direction: str = "out") -> DataFrame:
+        """1-hop neighbors via relation edges (J1).  direction: out | in |
+        both (the reference's UNION of src/dst patterns,
+        kgraph_bridge_utilities.py:498-512)."""
+        rel = self.kg.relations
+        out = rel.where(F.col("subj") == uri).select(
+            F.col("obj").alias("entity_id"), "pred", "weight")
+        inn = rel.where(F.col("obj") == uri).select(
+            F.col("subj").alias("entity_id"), "pred", "weight")
+        if direction == "out":
+            hop = out
+        elif direction == "in":
+            hop = inn
+        else:
+            hop = out.unionByName(inn)
+        return hop.join(self.kg.entities, "entity_id")
+
+    def frames_for_entity(self, uri: str) -> DataFrame:
+        """entity → frames where it fills the source slot (entity→frame→slot
+        star, kgraph_frame_bridge.py:289-323)."""
+        src = self.kg.slots.where(
+            (F.col("slot_type") == SLOT_SOURCE) & (F.col("entity_value") == uri))
+        return self.kg.frames.join(
+            src.select("frame_uri"), "frame_uri", "left_semi")
+
+    def frame_slots(self, frame_uri: str) -> DataFrame:
+        return self.kg.slots.where(F.col("frame_uri") == frame_uri)
+
+    # -- vector / hybrid -----------------------------------------------
+
+    @property
+    def vectors(self) -> DataFrame:
+        if self._vectors is None:
+            self._vectors = build_vector_records(self.kg.entities)
+        return self._vectors
+
+    def vector_search(self, query_text: str, limit: int = 10,
+                      vector_id: str | None = None,
+                      filters: dict | None = None,
+                      score_threshold: float | None = None) -> DataFrame:
+        return _knn(self.vectors, query_text, k=limit, vector_id=vector_id,
+                    metadata_filters=filters, score_threshold=score_threshold)
+
+    def hybrid_search(self, query_text: str, graph_candidates: DataFrame,
+                      limit: int = 10,
+                      vector_id: str | None = None) -> DataFrame:
+        return _hybrid(self.vectors, graph_candidates, query_text,
+                       k=limit, vector_id=vector_id)
+
+    def object_vectors(self, uri: str) -> DataFrame:
+        return self.vectors.where(F.col("uri") == uri)
+
+    # -- stats ----------------------------------------------------------
+
+    def stats(self) -> DataFrame:
+        """Per-graph roll-up (kgraph.py:503-517)."""
+        g = self.kg.triples.groupBy("graph").agg(
+            F.count(F.lit(1)).alias("n_triples"))
+        return (
+            g.crossJoin(self.kg.entities.agg(
+                F.count(F.lit(1)).alias("n_entities")))
+            .crossJoin(self.kg.relations.agg(
+                F.count(F.lit(1)).alias("n_relations")))
+        )
