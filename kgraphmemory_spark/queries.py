@@ -1144,6 +1144,45 @@ def q_m3(spark, sf):
     return extract_features(synth_media(load(spark, sf, "documents")))
 
 
+@register("frames_typed_roundtrip", """
+  SELECT 'frame:' || substr(sha256('urn:order_type|' || CAST(o_orderkey AS VARCHAR)), 1, 24)
+           AS frame_uri,
+         CAST(o_orderkey AS VARCHAR) AS name,
+         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS "orderDate",
+         o_orderstatus AS status,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'true' ELSE 'false' END AS urgent
+  FROM orders WHERE o_orderkey < 1000
+""")
+def q_frames_typed(spark, sf):
+    """Typed frame+slot construction and OPTIONAL reconstruction
+    (kgraph_frame_bridge.py:556-676 create_*_slot / create_frame_with_slots
+    set-oriented): one frame per order, datetime/text/boolean slots, then
+    frame_slot_values left-join rebuild."""
+    from .operators.frames import (
+        SLOT_CLASS_BOOLEAN,
+        SLOT_CLASS_DATETIME,
+        SLOT_CLASS_TEXT,
+        SlotSpec,
+        build_typed_frames,
+        frame_slot_values,
+    )
+    o = load(spark, sf, "orders").where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+        F.col("o_orderstatus").alias("ostatus"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("ourgent"),
+    )
+    frames, slots = build_typed_frames(
+        o, "urn:order_type", key_col="o_orderkey",
+        slots=[SlotSpec("orderDate", SLOT_CLASS_DATETIME, "odate"),
+               SlotSpec("status", SLOT_CLASS_TEXT, "ostatus"),
+               SlotSpec("urgent", SLOT_CLASS_BOOLEAN, "ourgent")])
+    return frame_slot_values(
+        frames, slots,
+        ["urn:slot:orderDate", "urn:slot:status", "urn:slot:urgent"]
+    ).select("frame_uri", "name", "orderDate", "status", "urgent")
+
+
 # ===================== §2 coverage extras =================================
 
 @register("p10_bind_if_exists", """
