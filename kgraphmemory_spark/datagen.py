@@ -140,10 +140,17 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
         F.col("text"),
         F.lit("</p></body></html>"),
     )
-    return documents.select(
+    out = documents.select(
         F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")).alias("url"),
         (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
         F.encode(wrapped, "utf-8").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.col("lang"),
     )
+    # the driver's documents parquet is a single split at small SF, which
+    # would serialize the pandas-UDF extraction onto one task; a real pages
+    # table has thousands of splits.  Spread by url (cheap at this size).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        out = out.repartition(par, "url")
+    return out
