@@ -116,13 +116,17 @@ def _cpu_scaling_probe(lo: int = 4, hi: int = 16,
     }
 
 
-def _scaling_child(cores: int, pages: int, reps: int = 3) -> tuple[float, int, list]:
+def _scaling_child(cores: int, pages: int, reps: int = 3,
+                   budget_s: int = 900) -> tuple[float, int, list]:
     """Run the pipeline job in a fresh subprocess at local[cores].
 
     The sandbox host carries bursty EXTERNAL load (loadavg >10 with no
-    process of ours running has been observed), so each child measures
-    ``reps`` runs, records host loadavg around each, and reports the min —
-    the standard defense against noisy-neighbor wall-clock.
+    process of ours running has been observed), so each child measures up
+    to ``reps`` runs, records host loadavg around each, and reports the
+    min — the standard defense against noisy-neighbor wall-clock.  At
+    least one rep always runs; further reps only while ``budget_s`` of
+    measured time remains (bounds the driver's per-round bench on a slow
+    host; per-rep loadavg in the JSON shows when a short run was noisy).
     """
     code = f"""
 import json, time, sys
@@ -136,7 +140,10 @@ spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores}
 pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=64)
 pages.cache().count()  # corpus generation excluded from the measured window
 rep_stats = []
+spent = 0.0
 for _ in range({reps}):
+    if rep_stats and spent > {budget_s}:
+        break
     spark.catalog.clearCache()
     pages.cache().count()
     l0 = float(open("/proc/loadavg").read().split()[0])
@@ -145,6 +152,7 @@ for _ in range({reps}):
     n = kg.relations.count()
     kg.entities.count(); kg.triples.count()
     dt = time.time() - t0
+    spent += dt
     rep_stats.append({{"sec": round(dt, 2), "load_before": l0,
                        "load_after": float(open("/proc/loadavg").read().split()[0])}})
 n_raw = kg.raw_triples.count()
