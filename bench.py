@@ -13,7 +13,8 @@ local[$SPARK_GRAFT_CPUS]:
 Scaling evidence (north rule: ≥0.8 efficiency N→4N executors; sandbox
 proxy per driver instruction "N and 4N cores"): the same pipeline job runs
 in TWO fresh subprocesses at local[4] and local[16] over an identical
-deterministic synthetic corpus (~800k pages, ~58M raw triples);
+deterministic synthetic corpus (--scaling-pages, default 2,000,000 pages
+≈ 150M raw triples);
 efficiency = (T4 / T16) / 4, min of 3 reps with per-rep host loadavg
 recorded.  local[32] is NOT usable for the upper point: the sandbox host
 carries bursty external load (loadavg >10 with no process of ours), so 32

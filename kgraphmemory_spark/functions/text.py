@@ -85,8 +85,17 @@ def lang_guess(text: Column) -> Column:
 
 
 def fingerprint64(text: Column) -> Column:
-    """Stable 64-bit document fingerprint (xxhash64 of normalized text)."""
+    """Stable 64-bit document fingerprint (xxhash64 of normalized text) —
+    the fast production path (JVM hash, codegen)."""
     return F.xxhash64(F.lower(F.trim(text)))
+
+
+def fingerprint_hex(text: Column) -> Column:
+    """64-bit document fingerprint as the first 16 hex chars of
+    md5(lower(trim(text))) — identical in DuckDB
+    (`substr(md5(lower(trim(text))),1,16)`), so the driver's oracle gate
+    can verify it value-for-value (VERDICT.md round-1 item 2)."""
+    return F.substring(F.md5(F.lower(F.trim(text))), 1, 16)
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -102,29 +111,7 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as array<long>: for seed s in 0..num_hashes-1,
-    min over shingles of xxhash64(shingle, seed).  Empty input → nulls."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s))))
-        for s in range(num_hashes)
-    ])
-
-
-def simhash64(shingle_col: Column) -> Column:
-    """64-bit SimHash over shingle hashes, pure built-ins.
-
-    For each bit b: sum over shingles of (+1 if bit set else -1); result bit
-    = 1 if sum > 0.  Expressed with aggregate over the shingle array.
-    """
-    hashes = F.transform(shingle_col, lambda sh: F.xxhash64(sh))
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-9223372036854775808)) != 0, 1).otherwise(-1),
-        )
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        mask = F.lit(1 << b) if b < 63 else F.lit(-9223372036854775808)
-        out = out + F.when(bit_sum(b) > 0, mask).otherwise(F.lit(0).cast("long"))
-    return out
+# MinHash / SimHash signature computation moved to operators/dedup.py
+# (round 2): the column-level builders here were K/64 separate passes over
+# each shingle array fused into one giant codegen unit — a scale-killer.
+# The DataFrame-level rewrite is one explode + one hash aggregation.

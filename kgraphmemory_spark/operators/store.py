@@ -108,26 +108,32 @@ def objects_to_triples(objects: DataFrame, uri_col: str, type_uri: str,
 
 
 def triples_to_objects(triples: DataFrame, predicate_ns: str = "urn:prop:",
-                       property_names: list[str] | None = None) -> DataFrame:
+                       property_names: list[str] | None = None,
+                       array_properties: list[str] | None = None) -> DataFrame:
     """Long triples → wide object rows (§1.3 reconstruction,
     kgraph_rdf_db.py:603-729 batch variant) via ONE hash aggregation:
-    `map_from_entries(collect_list(struct(p,o)))` then typed column pulls.
+    `map_from_entries(collect_list(struct(p,values)))` then typed pulls.
     No per-subject probe loop (the reference's N+1, kgraph_rdf_db.py:678-699).
 
     Values come back as lexical strings; callers cast using the
     `obj_datatype` they wrote (round-trip tests cast to the source schema).
-    Multi-valued properties collapse to their sorted value array; scalar
-    pulls via ``property_names`` take the single (min) lexical value.
+    Every property aggregates to its sorted value array (the reference
+    rebuilds objects from ALL triples, kgraph_rdf_db.py:768-780): a
+    ``property_names`` pull returns the full array for names listed in
+    ``array_properties`` and the single (sorted-first) lexical value
+    otherwise — so multi-valued properties round-trip losslessly instead
+    of collapsing to the min element.
     """
     prop = F.substring_index("predicate", predicate_ns, -1)
-    # one value row per (subject, property) first — multi-valued properties
-    # would otherwise duplicate map keys
+    array_props = set(array_properties or [])
+    # one row per (subject, property) with the sorted value array — keeps
+    # map keys unique and multi-valued properties intact
     per_prop = (
         triples
         .groupBy(F.col("subject").alias("uri"),
                  F.when(F.col("predicate").startswith(predicate_ns), prop)
                  .alias("prop"))
-        .agg(F.min("object").alias("value"),
+        .agg(F.sort_array(F.collect_list("object")).alias("values"),
              F.max(F.when(F.col("predicate") == RDF_TYPE, F.col("object")))
              .alias("_type"))
     )
@@ -139,7 +145,7 @@ def triples_to_objects(triples: DataFrame, predicate_ns: str = "urn:prop:",
                 F.collect_list(
                     F.when(F.col("prop").isNotNull(),
                            F.struct(F.col("prop").alias("k"),
-                                    F.col("value").alias("v")))
+                                    F.col("values").alias("v")))
                 )
             ).alias("props"),
             F.max("_type").alias("rdf_type"),
@@ -147,7 +153,11 @@ def triples_to_objects(triples: DataFrame, predicate_ns: str = "urn:prop:",
     )
     if property_names:
         cols = [F.col("uri"), F.col("rdf_type")]
-        cols += [F.col("props")[p].alias(p) for p in property_names]
+        cols += [
+            F.col("props")[p].alias(p) if p in array_props
+            else F.element_at(F.col("props")[p], 1).alias(p)
+            for p in property_names
+        ]
         return agg.select(*cols)
     return agg
 
@@ -171,15 +181,43 @@ def remove_triples(triples: DataFrame, s: str | None = None,
     keep = F.lit(False)
     for col, val in (("subject", s), ("predicate", p), ("object", o), ("graph", g)):
         if val is not None:
-            keep = keep | (F.col(col) != val)
+            # null-safe: a NULL term never *matches* the pattern, so the
+            # row survives (plain != would evaluate NULL and drop it)
+            keep = keep | ~F.col(col).eqNullSafe(val)
     return triples.where(keep)
+
+
+# same IRI-shape heuristic io/rdf.py uses when serializing datatype-less
+# objects — scheme:rest with no whitespace/quotes/brackets
+_URI_SHAPE = r'^[A-Za-z][A-Za-z0-9+.\-]*:[^\s"<>]*$'
 
 
 def remove_object(triples: DataFrame, uri: str) -> DataFrame:
     """S4 `remove_object` including dangling-edge cleanup: the reference
-    deletes quads with subject=URI AND quads with object=URI
-    (kgraph.py:147-181) so no edge points at a ghost."""
-    return triples.where((F.col("subject") != uri) & (F.col("object") != uri))
+    deletes quads with subject=URI AND quads whose object is the
+    NamedNode(uri) (kgraph.py:147-181) so no edge points at a ghost.
+
+    URI-object detection on the long table: typed / lang-tagged objects
+    are literals and survive, and a datatype-less object only cascades
+    when it is IRI-shaped (the serialize-side heuristic, io/rdf.py:106-112)
+    — a plain prose literal that lexically equals the URI is kept.  A
+    scheme-shaped plain literal identical to the URI is still
+    indistinguishable; writers that need that distinction carry an
+    ``obj_is_uri`` flag column, honored here when present.
+    """
+    cols = set(triples.columns)
+    obj = F.col("object")
+    if "obj_is_uri" in cols:
+        obj_is_uri = F.col("obj_is_uri")
+    else:
+        obj_is_uri = obj.rlike(_URI_SHAPE)
+        if "obj_datatype" in cols:
+            obj_is_uri = obj_is_uri & F.col("obj_datatype").isNull()
+        if "obj_lang" in cols:
+            obj_is_uri = obj_is_uri & F.col("obj_lang").isNull()
+    subj_match = F.col("subject").eqNullSafe(uri)
+    obj_match = obj.eqNullSafe(uri) & F.coalesce(obj_is_uri, F.lit(False))
+    return triples.where(~subj_match & ~obj_match)
 
 
 def update_object(triples: DataFrame, new_object_triples: DataFrame,

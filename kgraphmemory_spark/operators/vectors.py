@@ -96,14 +96,27 @@ def knn(vectors: DataFrame, query_text: str, k: int = 10,
     for key, cond in (metadata_filters or {}).items():
         col = F.col("metadata")[key]
         if isinstance(cond, dict):
+            unknown = set(cond) - {"gte", "lte", "gt", "lt", "in"}
+            if unknown:
+                # the reference's _build_filter knows exactly these keys;
+                # silently skipping one would return unfiltered results
+                raise ValueError(
+                    f"unsupported filter condition keys {sorted(unknown)} "
+                    f"for metadata field '{key}'")
+            # numeric comparison like Qdrant Range (kgraph_vector_db.py:
+            # 231-263) — lexicographic string compare would say '10' < '9';
+            # try_cast keeps non-numeric payload values from failing ANSI
+            num = col.try_cast("double")
             if "gte" in cond:
-                out = out.where(col >= str(cond["gte"]))
+                out = out.where(num >= float(cond["gte"]))
             if "lte" in cond:
-                out = out.where(col <= str(cond["lte"]))
+                out = out.where(num <= float(cond["lte"]))
             if "gt" in cond:
-                out = out.where(col > str(cond["gt"]))
+                out = out.where(num > float(cond["gt"]))
             if "lt" in cond:
-                out = out.where(col < str(cond["lt"]))
+                out = out.where(num < float(cond["lt"]))
+            if "in" in cond:
+                out = out.where(col.isin(*[str(c) for c in cond["in"]]))
         elif isinstance(cond, (list, tuple, set)):
             out = out.where(col.isin(*[str(c) for c in cond]))
         else:

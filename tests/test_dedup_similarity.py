@@ -61,6 +61,69 @@ def test_simhash_identical_docs_equal(docs):
         assert ham(fps[0], fps[i]) <= 16
 
 
+def test_minhash_md5_mode_matches_xxhash_on_dups(docs):
+    """md5 string-hash mode (the DuckDB-mirrorable driver path) finds the
+    same identical-doc collisions as the xxhash64 fast path."""
+    ident = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    for hash_fn in ("xxhash64", "md5"):
+        cand = {(r.id_a, r.id_b) for r in
+                D.minhash_lsh_candidates(docs, "doc_id", "text",
+                                         hash_fn=hash_fn).collect()}
+        assert ident <= cand
+        assert not any(a >= 10 or b >= 10 for a, b in cand)
+
+
+def test_simhash_md5_identical_docs_equal(docs):
+    fps = {r.id: r.simhash for r in
+           D.simhash_md5(docs, "doc_id", "text").collect()}
+    assert len({fps[i] for i in range(5)}) == 1
+    # scrambled-unique docs should not share the base fingerprint
+    assert fps[15] != fps[0]
+
+
+def test_dedup_components_giant_cluster(spark):
+    """A 10k-copy duplicate cluster must dedup via per-bucket star edges
+    (O(n) per bucket), never all-pairs (VERDICT.md round-1 item 4)."""
+    dup = [(i, "common crawl boilerplate footer text repeated on every "
+               "single page of the mirror site") for i in range(10_000)]
+    uniq = [(10_000 + i, " ".join(f"tok{i}_{j}" for j in range(12)))
+            for i in range(50)]
+    df = spark.createDataFrame(dup + uniq, "doc_id long, text string")
+    out = {r.id: r.keep_id for r in
+           D.minhash_dedup_components(df, "doc_id", "text").collect()}
+    assert len(out) == 10_050
+    # every copy maps to the single keeper (string-min member id)
+    assert {out[str(i)] for i in range(10_000)} == {"0"}
+    # unique docs keep themselves
+    for i in range(10_000, 10_050):
+        assert out[str(i)] == str(i)
+
+
+def test_dedup_components_agree_with_candidate_pairs(docs):
+    """On the small corpus, CC over star edges yields the same classes as
+    union-find over the all-pairs candidate output."""
+    pairs = [(r.id_a, r.id_b) for r in
+             D.minhash_lsh_candidates(docs, "doc_id", "text").collect()]
+    parent = {i: i for i in range(20)}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    classes: dict[int, list[int]] = {}
+    for i in range(20):
+        classes.setdefault(find(i), []).append(i)
+    # CC labels components with the lexicographic-min string id
+    expected = {str(i): min(str(m) for m in classes[find(i)]) for i in range(20)}
+    got = {r.id: r.keep_id for r in
+           D.minhash_dedup_components(docs, "doc_id", "text").collect()}
+    assert got == expected
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     texts = ["hash join fast", "hash join slow", "sort merge join",

@@ -97,6 +97,46 @@ def test_remove_object_cascade(spark, triples):
     assert after.where(F.col("subject") == "urn:e2").count() > 0
 
 
+def test_array_property_roundtrip(triples):
+    """Multi-valued properties round-trip as sorted arrays (ADVICE round 1
+    — min-collapse silently lost all but one element)."""
+    wide = triples_to_objects(triples, property_names=["name", "tags"],
+                              array_properties=["tags"])
+    got = {r.uri: r.tags for r in wide.collect()}
+    assert got["urn:e1"] == ["x", "y"]
+    assert got["urn:e2"] is None  # empty array emitted no triples
+    assert got["urn:e3"] is None
+
+
+def test_remove_triples_null_safe(spark):
+    """A NULL term never matches the delete pattern — the row survives
+    (plain != evaluated NULL and wrongly deleted it; ADVICE round 1)."""
+    t = spark.createDataFrame(
+        [("s1", "p1", "o1", None, None),
+         ("s1", "p1", "o1", None, "urn:g")],
+        "subject string, predicate string, object string, "
+        "obj_datatype string, graph string")
+    rows = remove_triples(t, s="s1", p="p1", g="urn:g").collect()
+    assert len(rows) == 1 and rows[0].graph is None
+
+
+def test_remove_object_spares_literals(spark):
+    """Cascade delete hits URI-shaped datatype-less objects only — typed
+    literals and prose literals survive (reference deletes NamedNode
+    objects only, kgraph.py:147-181; ADVICE round 1)."""
+    xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+    t = spark.createDataFrame(
+        [("urn:e9", "urn:prop:dest", "urn:e1", None, "urn:g"),
+         ("urn:e9", "urn:prop:title", "plain text", None, "urn:g"),
+         ("urn:e8", "urn:prop:code", "urn:e1", xsd_str, "urn:g")],
+        "subject string, predicate string, object string, "
+        "obj_datatype string, graph string")
+    keys = {(r.subject, r.predicate) for r in remove_object(t, "urn:e1").collect()}
+    assert ("urn:e9", "urn:prop:dest") not in keys   # URI object → cascaded
+    assert ("urn:e8", "urn:prop:code") in keys       # typed literal survives
+    assert ("urn:e9", "urn:prop:title") in keys
+
+
 def test_update_and_upsert(spark, objects, triples):
     new_obj = spark.createDataFrame(
         [("urn:e2", "beta2", 99)], "uri string, name string, n int")

@@ -91,6 +91,29 @@ def test_metadata_filters(vectors):
     assert [h.uri for h in few] == ["ent:spark"]
 
 
+def test_numeric_range_filters(entities):
+    """Ranges compare numerically like the reference's Qdrant Range
+    (kgraph_vector_db.py:231-263) — lexicographic '4' <= '10' is false and
+    would drop almost everything (ADVICE round 1)."""
+    v = build_vector_records(
+        entities, mappings={"general": ["name", "mention_count"]})
+    hits = knn(v, "spark", k=10,
+               metadata_filters={"mention_count": {"lte": 10}}).collect()
+    assert len(hits) == entities.count()  # every count is <= 10 numerically
+    hits = knn(v, "spark", k=10,
+               metadata_filters={"mention_count": {"gte": 2, "lt": 9}}).collect()
+    assert len(hits) == 3  # 4, 2, 7
+
+
+def test_in_dict_form_and_unknown_key(vectors):
+    # {'in': [...]} dict form must filter (was silently ignored)
+    hits = knn(vectors, "spark", k=10, vector_id="entity_value",
+               metadata_filters={"uri": {"in": ["ent:spark", "ent:data"]}}).collect()
+    assert {h.uri for h in hits} == {"ent:spark", "ent:data"}
+    with pytest.raises(ValueError, match="unsupported filter"):
+        knn(vectors, "spark", k=10, metadata_filters={"uri": {"eq": "x"}})
+
+
 def test_hybrid_semi_join(vectors, entities):
     phrases = entities.where(F.col("entity_type") == "urn:kg:Phrase")
     hits = hybrid_search(vectors, phrases, "hash join", k=10,
