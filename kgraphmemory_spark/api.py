@@ -22,6 +22,8 @@ Method parity map (reference → here):
 - get_stats (kgraph.py:503-517) → ``stats``
 - frame traversal entity→frame→slot (kgraph_frame_bridge.py:289-323) →
   ``frames_for_entity`` / ``frame_slots``
+- chat/interaction family (kgraph_chat_bridge.py,
+  kgraph_interaction_bridge.py) → ``ChatView`` below
 
 Write-side methods (add/update/remove) live in ``operators.store`` — they
 are table transforms committed through the snapshot catalog, not mutations.
@@ -146,3 +148,41 @@ class KGraphView:
             .crossJoin(self.kg.relations.agg(
                 F.count(F.lit(1)).alias("n_relations")))
         )
+
+
+class ChatView:
+    """Chat/interaction query facade (the reference's KGraphChatBridge +
+    KGraphInteractionBridge read surface, kgraph_chat_bridge.py:235-283 +
+    578-586, kgraph_interaction_bridge.py:456-499) over the typed
+    interaction/message tables built by ``operators.chat``."""
+
+    def __init__(self, events: DataFrame):
+        from .operators.chat import build_interactions, build_messages
+        self.interactions = build_interactions(events)
+        self.messages = build_messages(events)
+
+    def messages_for(self, interaction_uri: str) -> DataFrame:
+        """Interaction → messages ordered by timestamp (ORDER BY
+        ?timestamp, kgraph_chat_bridge.py:235-283)."""
+        from .operators.chat import messages_for_interaction
+        return messages_for_interaction(self.messages, interaction_uri)
+
+    def recent_interactions(self, n: int = 10,
+                            interaction_type: str | None = None,
+                            start: str | None = None,
+                            end: str | None = None) -> DataFrame:
+        from .operators.chat import recent_interactions
+        return recent_interactions(self.interactions, n, interaction_type,
+                                   start, end)
+
+    def search_messages(self, k: int = 10,
+                        score_col: str = "score") -> DataFrame:
+        """Merged user+bot message search with global re-rank
+        (kgraph_chat_bridge.py:578-586: per-class top-(k//2), then one
+        sort by score)."""
+        from .operators.chat import BOT_MESSAGE, USER_MESSAGE, merged_search
+        m = self.messages.select("message_uri", "message_type", score_col)
+        return merged_search(
+            {USER_MESSAGE: m.where(F.col("message_type") == USER_MESSAGE),
+             BOT_MESSAGE: m.where(F.col("message_type") == BOT_MESSAGE)},
+            k=k, score_col=score_col)

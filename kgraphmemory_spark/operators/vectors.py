@@ -26,7 +26,7 @@ and the kNN is a partition-pruned scan + TakeOrderedAndProject.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ids import vector_record_id_col
@@ -39,6 +39,62 @@ ENTITY_VECTOR_MAPPINGS: dict[str, list[str]] = {
     "entity_type": ["entity_type"],
     "general": ["name", "entity_type"],
 }
+
+# Full per-type mapping config — the whole default_vector_mappings.py
+# surface (KGEntity :23-32, KGFrame :35-49, KGSlot/KGTextSlot :52-76,
+# KGDocument :92-103, KGChatMessage :106-122, KGActor :125-136) keyed by
+# the types this engine materializes; consumed like kgraph.py:424-442
+# (per-type lookup → one record per (object, vector_id)).
+DEFAULT_VECTOR_MAPPINGS: dict[str, dict[str, list[str]]] = {
+    # KGEntity (Token/Phrase are this engine's two entity classes)
+    "urn:kg:Token": ENTITY_VECTOR_MAPPINGS,
+    "urn:kg:Phrase": ENTITY_VECTOR_MAPPINGS,
+    # KGFrame: type vector + general (no description column materialized)
+    "urn:frame:next": {
+        "type": ["frame_type"],
+        "general": ["frame_type"],
+    },
+    # KGSlot family: slot_type vector + slot_value for value-bearing slots
+    "urn:kg:Slot": {
+        "slot_type": ["slot_type"],
+        "slot_value": ["entity_value"],
+    },
+    # KGDocument
+    "urn:kg:Document": {
+        "general": ["text"],
+    },
+    # KGChatMessage family (operators/chat.py messages table)
+    "urn:kg:KGChatMessage": {
+        "content": ["content"],
+        "general": ["message_type", "content"],
+    },
+    # KGActor
+    "urn:kg:Actor": {
+        "general": ["name"],
+    },
+}
+
+
+def mappings_for_type(type_uri: str) -> dict[str, list[str]]:
+    """Per-type lookup with the reference's fall-through to a plain
+    name-based general vector (kgraph.py:436-441 default branch)."""
+    return DEFAULT_VECTOR_MAPPINGS.get(type_uri, {"general": ["name"]})
+
+
+def build_typed_vector_records(
+        typed: list[tuple[DataFrame, str, str]]) -> DataFrame:
+    """[(objects_df, type_uri, uri_col), ...] → one unioned vectors table,
+    each type embedded under its own DEFAULT_VECTOR_MAPPINGS entry —
+    the multi-type write path of kgraph.py:424-442."""
+    parts = [
+        build_vector_records(df, uri_col=uri_col,
+                             mappings=mappings_for_type(type_uri))
+        for df, type_uri, uri_col in typed
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
@@ -130,6 +186,54 @@ def knn(vectors: DataFrame, query_text: str, k: int = 10,
     if score_threshold is not None:
         out = out.where(F.col("score") >= score_threshold)
     return out.orderBy(F.desc("score"), F.asc("record_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# S17: vector point CRUD (kgraph_vector_db.py:265-359) — the store.py
+# upsert/delete shape instantiated on the points table.  On a cluster these
+# parameterize MERGE INTO / DELETE WHERE on the snapshot catalog.
+# ---------------------------------------------------------------------------
+
+def upsert_points(points: DataFrame, incoming: DataFrame,
+                  id_col: str = "record_id") -> DataFrame:
+    """Replace-or-insert by point id (`upsert` kgraph_vector_db.py:265-295):
+    anti-join out the incoming ids, union the incoming rows — one shuffle,
+    set-oriented (no per-point loop)."""
+    ids = incoming.select(id_col).distinct()
+    return (
+        points.join(F.broadcast(ids), id_col, "left_anti")
+        .unionByName(incoming)
+    )
+
+
+def delete_points(points: DataFrame, ids: list | None = None,
+                  where: Column | None = None,
+                  id_col: str = "record_id") -> DataFrame:
+    """Delete by id list or predicate (kgraph_vector_db.py:297-320)."""
+    out = points
+    if ids is not None:
+        out = out.where(~F.col(id_col).isin(*list(ids)))
+    if where is not None:
+        # null-safe: rows where the predicate is NULL do not match → kept
+        out = out.where(~F.coalesce(where, F.lit(False)))
+    return out
+
+
+def get_points(points: DataFrame, ids: list,
+               id_col: str = "record_id") -> DataFrame:
+    """get_by_id batch form (kgraph_vector_db.py:322-340) — one semi join,
+    not a per-id probe loop."""
+    return points.where(F.col(id_col).isin(*list(ids)))
+
+
+def count_points(points: DataFrame,
+                 vector_id: str | None = None) -> DataFrame:
+    """Point count, optionally per logical vector space
+    (kgraph_vector_db.py:341-359)."""
+    out = points
+    if vector_id is not None:
+        out = out.where(F.col("vector_id") == vector_id)
+    return out.agg(F.count(F.lit(1)).alias("n_points"))
 
 
 def hybrid_search(vectors: DataFrame, graph_candidates: DataFrame,

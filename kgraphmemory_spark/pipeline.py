@@ -70,7 +70,7 @@ def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     workdir: str | None = None,
-    link_strategy: str = "broadcast",
+    link_strategy: str = "auto",
     graph: str = DEFAULT_GRAPH,
     cache_intermediates: bool = True,
 ) -> KGTables:

@@ -1109,6 +1109,19 @@ def q_s9(spark, sf):
 # ===================== multi-vector / hybrid (S15-S17, J6) ================
 
 @register("kg_vector_texts", f"""
+  WITH rels AS ({SQL_RELATIONS}),
+  frames AS (
+    SELECT 'frame:' || substr(sha256(subj || '|' || pred || '|' || obj), 1, 24)
+             AS frame_uri,
+           'urn:frame:next' AS frame_type, subj, obj
+    FROM rels),
+  slots AS (
+    SELECT 'slot:' || substr(sha256(frame_uri || '|' || 'urn:hasSourceEntity'), 1, 24)
+             AS slot_uri,
+           'urn:hasSourceEntity' AS slot_type, subj AS entity_value FROM frames
+    UNION ALL
+    SELECT 'slot:' || substr(sha256(frame_uri || '|' || 'urn:hasDestinationEntity'), 1, 24),
+           'urn:hasDestinationEntity', obj FROM frames)
   SELECT entity_id AS uri, 'entity_value' AS vector_id, name AS text
   FROM ({SQL_ENTITIES})
   UNION ALL
@@ -1116,13 +1129,27 @@ def q_s9(spark, sf):
   UNION ALL
   SELECT entity_id, 'general', name || ' ' || entity_type
   FROM ({SQL_ENTITIES})
+  UNION ALL
+  SELECT frame_uri, 'general', frame_type FROM frames
+  UNION ALL
+  SELECT frame_uri, 'type', frame_type FROM frames
+  UNION ALL
+  SELECT slot_uri, 'slot_type', slot_type FROM slots
+  UNION ALL
+  SELECT slot_uri, 'slot_value', entity_value FROM slots
 """)
 def q_kg_vtexts(spark, sf):
-    """Multi-vector text assembly (kgraph.py:424-442): mapping-driven
-    per-vector_id property concat over materialized entities."""
-    from .operators.vectors import build_vector_records
-    return build_vector_records(kg_tables(spark, sf).entities).select(
-        "uri", "vector_id", "text")
+    """Multi-vector text assembly across THREE object types (entities +
+    frames + slots) driven by the full DEFAULT_VECTOR_MAPPINGS config
+    (default_vector_mappings.py:5-136 consumed per-type like
+    kgraph.py:424-442)."""
+    from .operators.vectors import build_typed_vector_records
+    kg = kg_tables(spark, sf)
+    return build_typed_vector_records([
+        (kg.entities, "urn:kg:Token", "entity_id"),
+        (kg.frames, "urn:frame:next", "frame_uri"),
+        (kg.slots, "urn:kg:Slot", "slot_uri"),
+    ]).select("uri", "vector_id", "text")
 
 
 @register("kg_hybrid_search")
@@ -1340,6 +1367,159 @@ def q_u3(spark, sf):
     a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.intersect(b)
+
+
+# ===================== chat / interaction surface (round 2) ================
+
+_SQL_MESSAGES = """
+  SELECT 'urn:msg:' || CAST(event_id AS VARCHAR) AS message_uri,
+         'urn:interaction:' || CAST(user_id AS VARCHAR) AS interaction_uri,
+         CASE WHEN event_type IN ('click','view','purchase','signup')
+              THEN 'KGChatUserMessage' ELSE 'KGChatBotMessage' END AS message_type,
+         props AS content, ts, value AS score
+  FROM events
+"""
+
+
+@register("c1_interaction_messages", f"""
+  SELECT CAST(row_number() OVER (ORDER BY ts, message_uri) AS INT) AS msg_idx,
+         message_uri, message_type, content, ts
+  FROM ({_SQL_MESSAGES})
+  WHERE interaction_uri = 'urn:interaction:7'
+""")
+def q_c1(spark, sf):
+    """Interaction → messages ordered by timestamp
+    (kgraph_chat_bridge.py:235-283); msg_idx materializes the ORDER BY so
+    the sorted-row hash still proves the ordering."""
+    from .api import ChatView
+    cv = ChatView(load(spark, sf, "events"))
+    return cv.messages_for("urn:interaction:7")
+
+
+@register("c2_recent_interactions", f"""
+  SELECT CAST(rank AS INT) AS rank, interaction_uri, name, update_time,
+         n_messages
+  FROM (
+    SELECT row_number() OVER (ORDER BY update_time DESC, interaction_uri)
+             AS rank, *
+    FROM (
+      SELECT 'urn:interaction:' || CAST(user_id AS VARCHAR) AS interaction_uri,
+             'interaction ' || CAST(user_id AS VARCHAR) AS name,
+             max(ts) AS update_time, CAST(count(*) AS BIGINT) AS n_messages
+      FROM events GROUP BY user_id))
+  WHERE rank <= 10
+""")
+def q_c2(spark, sf):
+    """Most-recent-N interactions, ORDER BY DESC(updateTime) LIMIT n
+    (kgraph_interaction_bridge.py:456-499) — TakeOrderedAndProject."""
+    from .api import ChatView
+    cv = ChatView(load(spark, sf, "events"))
+    return cv.recent_interactions(n=10)
+
+
+@register("c3_merged_search_rerank", f"""
+  WITH m AS ({_SQL_MESSAGES}),
+  u AS (SELECT message_uri, message_type, score FROM m
+        WHERE message_type = 'KGChatUserMessage'
+        ORDER BY score DESC, message_uri LIMIT 5),
+  b AS (SELECT message_uri, message_type, score FROM m
+        WHERE message_type = 'KGChatBotMessage'
+        ORDER BY score DESC, message_uri LIMIT 5),
+  merged AS (SELECT * FROM u UNION ALL SELECT * FROM b)
+  SELECT CAST(rank AS INT) AS rank, message_uri, message_type, score
+  FROM (SELECT row_number() OVER (ORDER BY score DESC, message_uri) AS rank, *
+        FROM merged)
+  WHERE rank <= 10
+""")
+def q_c3(spark, sf):
+    """Merged multi-type search with global re-rank
+    (kgraph_chat_bridge.py:578-586): per-class top-(k//2), union, one
+    global sort by score.  The synthetic model score is the event value."""
+    from .api import ChatView
+    cv = ChatView(load(spark, sf, "events"))
+    return cv.search_messages(k=10)
+
+
+# ===================== S17 vector point CRUD ===============================
+
+@register("s17_vector_crud", """
+  WITH pts AS (SELECT vec_id AS record_id, label FROM embeddings),
+  up AS (SELECT record_id,
+                CASE WHEN record_id < 50 THEN label + 1000 ELSE label END AS label
+         FROM pts),
+  after AS (SELECT * FROM up WHERE NOT (record_id >= 50 AND record_id < 100))
+  SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(min(record_id) AS BIGINT) AS min_id
+  FROM after GROUP BY label
+""")
+def q_s17(spark, sf):
+    """S17 vector point CRUD (kgraph_vector_db.py:265-359): upsert
+    modified points (ids < 50 relabeled +1000), delete ids 50..99, then a
+    per-label census of the surviving points."""
+    from .operators.vectors import delete_points, upsert_points
+    pts = load(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("record_id"), "label")
+    inc = pts.where(F.col("record_id") < 50).withColumn(
+        "label", F.col("label") + 1000)
+    up = upsert_points(pts, inc)
+    after = delete_points(
+        up, where=(F.col("record_id") >= 50) & (F.col("record_id") < 100))
+    return (
+        after.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.min("record_id").cast("long").alias("min_id"))
+    )
+
+
+# ===================== cross-graph (named graph) rollup ====================
+
+@register("x1_multigraph_stats", f"""
+  WITH web AS ({SQL_TRIPLES_LONG}),
+  tpch AS (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subject FROM nation
+    UNION ALL
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+    UNION ALL
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+      WHERE n_nationkey IS NOT NULL
+    UNION ALL
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+      WHERE n_name IS NOT NULL
+    UNION ALL
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+      WHERE n_regionkey IS NOT NULL),
+  u AS (SELECT 'urn:graph:web' AS graph, subject FROM web
+        UNION ALL SELECT 'urn:graph:tpch', subject FROM tpch)
+  SELECT graph, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects
+  FROM u GROUP BY graph
+  UNION ALL
+  SELECT 'urn:graph:all', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT subject) AS BIGINT)
+  FROM u
+""")
+def q_x1(spark, sf):
+    """J10/A7 as a driver-gated query: TWO named graphs in one store
+    (the web KG + a TPC-H object graph), per-graph rollup + an all-graphs
+    row — the reference's multi-graph fan-out (kgraph_memory.py:184-245:
+    same query over every managed graph, results merged)."""
+    from .operators.store import objects_to_triples
+    kg = kg_tables(spark, sf)
+    n = load(spark, sf, "nation").withColumn(
+        "uri", F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")))
+    tpch = objects_to_triples(
+        n, uri_col="uri", type_uri="urn:kg:Nation", graph="urn:graph:tpch",
+        property_cols=["n_nationkey", "n_name", "n_regionkey"])
+    u = kg.triples.select("graph", "subject").unionByName(
+        tpch.select("graph", "subject"))
+    per = u.groupBy("graph").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subject").alias("n_subjects"))
+    total = u.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subject").alias("n_subjects")
+    ).select(F.lit("urn:graph:all").alias("graph"), "n_triples", "n_subjects")
+    return per.unionByName(total)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
