@@ -21,10 +21,11 @@ the same syntactic distinction, kgraph_rdf_db.py:953-1001).  Either way
 parse(serialize(df)) round-trips the table exactly — both arms yield the
 original string back.
 
-Turtle / RDF-XML / TriG / JSON-LD (S20) are non-line-delimited and thus
-non-splittable; per SURVEY.md §2.1 they are a documented limitation of the
-distributed path (a whole-file pandas-UDF could wrap an external parser,
-which this sandbox does not ship).
+Turtle (S20) has a whole-file subset parser in io/turtle.py (one task per
+file — non-splittable by nature; N-Triples output is itself valid Turtle
+for the serialize direction).  RDF-XML / TriG / JSON-LD remain documented
+limitations (a whole-file pandas-UDF would wrap an external parser, which
+this sandbox does not ship).
 """
 
 from __future__ import annotations

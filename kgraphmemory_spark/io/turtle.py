@@ -1,0 +1,262 @@
+"""Turtle (subset) whole-file parser — closes the S20 gap for the most
+common profile (SURVEY.md §2.1; reference load path
+kgraph_rdf_db.py:410-427 delegates these formats to pyoxigraph, which this
+sandbox does not ship).
+
+Supported subset — the profile that covers the overwhelming majority of
+published Turtle:
+- ``@prefix`` / ``PREFIX`` and ``@base`` / ``BASE`` directives;
+- IRIs ``<...>`` (relative ones resolved against the base by plain
+  concatenation), prefixed names ``p:local`` (empty prefix ok), blank
+  node labels ``_:b``;
+- ``a`` as ``rdf:type``;
+- predicate lists with ``;`` and object lists with ``,``;
+- literals ``"..."`` with ``\\`` escapes (incl. ``\\uXXXX``), optional
+  ``^^dt`` (IRI or prefixed) or ``@lang``; numeric shorthand
+  (xsd:integer / xsd:decimal) and ``true``/``false`` (xsd:boolean).
+
+NOT supported (documented limitation, same as round 1): blank-node
+property lists ``[...]``, collections ``(...)``, triple-quoted strings.
+
+Scale shape: Turtle is not line-splittable, so parallelism is ONE TASK
+PER FILE — `spark.read.text(wholetext)` distributes the file list and
+`mapInPandas` parses each file Arrow-batched.  A 100 TB corpus of many
+.ttl files parallelizes across files; a single giant .ttl does not (use
+N-Triples for that — io/rdf.py's splittable path).  parse(serialize) for
+line formats stays the canonical round-trip; N-Triples output is itself
+valid Turtle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# Alternation order matters: blank before pname (else `_:b` reads as a
+# pname with prefix `_`), pname before kw (else `a:x` / `true:x` lose
+# their prefix to the keyword), kw before langtag (else `@prefix` reads
+# as a language tag).
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<literal>"(?:[^"\\]|\\.)*")
+    | (?P<dtmark>\^\^)
+    | (?P<blank>_:[\w\-]+(?:\.[\w\-]+)*)
+    | (?P<num>[+-]?(?:\d+\.\d+|\d+))
+    | (?P<pname>(?:[A-Za-z_][\w.\-]*)?:(?:[\w\-%]+(?:\.[\w\-%]+)*)?)
+    | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|true\b|false\b|a\b)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
+    | (?P<punct>[;,.])
+    """,
+    re.X,
+)
+
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+_ESCAPES = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t",
+            "b": "\b", "f": "\f", "'": "'"}
+
+
+def _unescape(body: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            if n == "u" and i + 5 < len(body):
+                out.append(chr(int(body[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            if n == "U" and i + 9 < len(body):
+                out.append(chr(int(body[i + 2:i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESCAPES.get(n, n))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _tokens(text: str) -> Iterator[tuple[str, str]]:
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if m is None:
+            raise ValueError(f"turtle parse error at offset {pos}: "
+                             f"{text[pos:pos + 30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        yield kind, m.group()
+
+
+class _Parser:
+    def __init__(self, default_graph: str | None):
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.graph = default_graph
+
+    def _resolve_iri(self, tok: str) -> str:
+        iri = tok[1:-1]
+        if self.base and not _SCHEME.match(iri):
+            return self.base + iri
+        return iri
+
+    def _resolve_pname(self, tok: str) -> str:
+        pfx, local = tok.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"undeclared prefix {pfx!r}: in {tok!r}")
+        return self.prefixes[pfx] + local
+
+    def _term(self, kind: str, tok: str, toks) -> tuple:
+        """→ (value, datatype, lang, is_literal); may consume ^^dt / @lang."""
+        if kind == "iri":
+            return self._resolve_iri(tok), None, None, False
+        if kind == "pname":
+            return self._resolve_pname(tok), None, None, False
+        if kind == "blank":
+            return tok, None, None, False
+        if kind == "kw" and tok in ("true", "false"):
+            return tok, XSD + "boolean", None, True
+        if kind == "num":
+            dt = XSD + ("decimal" if "." in tok else "integer")
+            return tok, dt, None, True
+        if kind == "literal":
+            value = _unescape(tok[1:-1])
+            nk, nt = toks.peek()
+            if nk == "dtmark":
+                toks.next()
+                dk, dtok = toks.next()
+                if dk == "iri":
+                    return value, self._resolve_iri(dtok), None, True
+                if dk == "pname":
+                    return value, self._resolve_pname(dtok), None, True
+                raise ValueError(f"bad datatype token {dtok!r}")
+            if nk == "langtag":
+                toks.next()
+                return value, None, nt[1:], True
+            return value, None, None, True
+        raise ValueError(f"unexpected term token {tok!r}")
+
+    def parse(self, text: str) -> list[tuple]:
+        toks = _Peekable(_tokens(text))
+        rows: list[tuple] = []
+        while True:
+            k, t = toks.peek()
+            if k is None:
+                return rows
+            if k == "kw" and t in ("@prefix", "PREFIX"):
+                toks.next()
+                _, ptok = toks.next()          # 'p:' — pname with empty local
+                pfx = ptok.rsplit(":", 1)[0]
+                ik, itok = toks.next()
+                if ik != "iri":
+                    raise ValueError(f"@prefix needs an IRI, got {itok!r}")
+                self.prefixes[pfx] = itok[1:-1]
+                if t == "@prefix":
+                    pk, ptok2 = toks.next()
+                    if (pk, ptok2) != ("punct", "."):
+                        raise ValueError("@prefix not terminated by '.'")
+                continue
+            if k == "kw" and t in ("@base", "BASE"):
+                toks.next()
+                ik, itok = toks.next()
+                if ik != "iri":
+                    raise ValueError(f"@base needs an IRI, got {itok!r}")
+                self.base = itok[1:-1]
+                if t == "@base":
+                    pk, ptok2 = toks.next()
+                    if (pk, ptok2) != ("punct", "."):
+                        raise ValueError("@base not terminated by '.'")
+                continue
+            self._statement(toks, rows)
+
+    def _statement(self, toks, rows: list[tuple]) -> None:
+        sk, st = toks.next()
+        subj, _, _, lit = self._term(sk, st, toks)
+        if lit:
+            raise ValueError(f"literal subject {st!r}")
+        while True:
+            pk, pt = toks.next()
+            if pk == "kw" and pt == "a":
+                pred = RDF_TYPE
+            else:
+                pred, _, _, plit = self._term(pk, pt, toks)
+                if plit:
+                    raise ValueError(f"literal predicate {pt!r}")
+            while True:
+                ok, ot = toks.next()
+                obj, dt, lang, _ = self._term(ok, ot, toks)
+                rows.append((subj, pred, obj, dt, lang, self.graph))
+                nk, nt = toks.next()
+                if (nk, nt) == ("punct", ","):
+                    continue
+                break
+            if (nk, nt) == ("punct", ";"):
+                # allow trailing ';' before the final '.'
+                if toks.peek() == ("punct", "."):
+                    toks.next()
+                    return
+                continue
+            if (nk, nt) == ("punct", "."):
+                return
+            raise ValueError(f"expected ';' ',' or '.', got {nt!r}")
+
+
+class _Peekable:
+    def __init__(self, it: Iterator):
+        self._it = it
+        self._buf: tuple | None = None
+
+    def peek(self) -> tuple:
+        if self._buf is None:
+            self._buf = next(self._it, (None, None))
+        return self._buf
+
+    def next(self) -> tuple:
+        t = self.peek()
+        self._buf = None
+        if t == (None, None):
+            raise ValueError("unexpected end of turtle input")
+        return t
+
+
+def parse_turtle_text(text: str,
+                      default_graph: str | None = None) -> list[tuple]:
+    """Pure-python single-document parse → [(subject, predicate, object,
+    obj_datatype, obj_lang, graph)] — also the oracle for the Spark path."""
+    return _Parser(default_graph).parse(text)
+
+
+_COLS = ["subject", "predicate", "object", "obj_datatype", "obj_lang", "graph"]
+
+
+def load_turtle(spark: SparkSession, path: str,
+                default_graph: str | None = None) -> DataFrame:
+    """Distributed Turtle load: one task per file (wholetext scan),
+    Arrow-batched parse via mapInPandas; output schema identical to
+    io.rdf.parse_lines so every downstream store operator applies."""
+    files = spark.read.format("text").option("wholetext", "true").load(path)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf["value"]:
+                rows.extend(parse_turtle_text(text, default_graph))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    schema = ("subject string, predicate string, object string, "
+              "obj_datatype string, obj_lang string, graph string")
+    return files.mapInPandas(_parse, schema=schema)
