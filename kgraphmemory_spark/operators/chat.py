@@ -108,10 +108,13 @@ def recent_interactions(interactions: DataFrame, n: int = 10,
         out = out.where(F.col("update_time") >= start)
     if end is not None:
         out = out.where(F.col("update_time") <= end)
+    # distributed top-N FIRST (TakeOrderedAndProject) — the rank window
+    # then touches only the n survivors, never a single-partition sort of
+    # every interaction (user-cardinality at web scale)
+    topn = out.orderBy(F.desc("update_time"), F.asc("interaction_uri")).limit(n)
     w = Window.orderBy(F.desc("update_time"), F.asc("interaction_uri"))
     return (
-        out.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= n)
+        topn.withColumn("rank", F.row_number().over(w))
         .select("rank", "interaction_uri", "name", "update_time", "n_messages")
     )
 

@@ -220,6 +220,15 @@ def remove_object(triples: DataFrame, uri: str) -> DataFrame:
     return triples.where(~subj_match & ~obj_match)
 
 
+def clear(triples: DataFrame, graph: str | None = None) -> DataFrame:
+    """S18 `clear` (kgraph_rdf_db.py:558-574): drop everything, or one
+    named graph only.  On a snapshot catalog: `DELETE FROM triples
+    [WHERE graph = ...]` / truncate."""
+    if graph is None:
+        return triples.limit(0)
+    return triples.where(~F.col("graph").eqNullSafe(graph))
+
+
 def update_object(triples: DataFrame, new_object_triples: DataFrame,
                   uri: str) -> DataFrame:
     """S3 `update_object` = delete subject's triples + re-add

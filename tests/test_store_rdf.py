@@ -137,6 +137,16 @@ def test_remove_object_spares_literals(spark):
     assert ("urn:e9", "urn:prop:title") in keys
 
 
+def test_clear(spark, triples):
+    from kgraphmemory_spark.operators.store import clear
+    extra = spark.createDataFrame(
+        [("urn:x", "urn:prop:p", "v", None, "urn:g2")], triples.schema)
+    t2 = triples.unionByName(extra)
+    assert clear(t2).count() == 0
+    left = clear(t2, graph="urn:g")
+    assert left.count() == 1 and left.first().graph == "urn:g2"
+
+
 def test_update_and_upsert(spark, objects, triples):
     new_obj = spark.createDataFrame(
         [("urn:e2", "beta2", 99)], "uri string, name string, n int")
