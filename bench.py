@@ -85,6 +85,15 @@ def _headline(spark) -> tuple[dict, dict]:
     run("cosine_topk", lambda: Q.QUERIES["v1_cosine_topk"](spark, SF_DIR).count())
     run("minhash_lsh", lambda: Q.QUERIES["d3_minhash_lsh"](spark, SF_DIR).count())
     run("ngram_jaccard", lambda: Q.QUERIES["d2_ngram_jaccard"](spark, SF_DIR).count())
+
+    # -- dedup fast path over the FULL corpus (xxhash64, explode+hash-agg;
+    #    the production shape — d3/d4 above are the bounded oracle-gated
+    #    md5 variants) ---------------------------------------------------
+    from kgraphmemory_spark.operators import dedup as D
+    run("simhash_full",
+        lambda: D.simhash_signatures(docs, "doc_id", "text").count())
+    run("dedup_classes_full",
+        lambda: D.minhash_dedup_components(docs, "doc_id", "text").count())
     return times, extra
 
 
