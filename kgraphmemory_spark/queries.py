@@ -858,6 +858,40 @@ def q_d3(spark, sf):
                                   hash_fn="md5")
 
 
+@register("d6_lsh_dedup_classes", f"""
+  WITH RECURSIVE {_SQL_SHINGLES_150},
+  sig AS (SELECT doc_id, {_D3_SIG}
+          FROM sh GROUP BY doc_id),
+  bands AS (
+{_D3_BAND_ARMS}),
+  edges AS (
+    SELECT a.doc_id AS ida, b.doc_id AS idb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2),
+  nodes AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+  reach(id, r) AS (
+    SELECT doc_id, CAST(doc_id AS VARCHAR) FROM nodes
+    UNION
+    SELECT e.ida, reach.r FROM edges e JOIN reach ON reach.id = e.idb)
+  SELECT CAST(n.doc_id AS VARCHAR) AS id, min(reach.r) AS keep_id
+  FROM nodes n JOIN reach ON reach.id = n.doc_id
+  GROUP BY 1
+""")
+def q_d6(spark, sf):
+    """LSH dedup classes END-TO-END including connected components,
+    oracle-checked: the DuckDB twin closes the collision graph with a
+    recursive CTE (min VARCHAR label = CC's lexicographic-min component
+    id).  Spark side: per-bucket star edges + operators/cc.py — the
+    cluster-safe scale path (never all pairs)."""
+    from .operators.dedup import minhash_dedup_components
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 150)
+    return minhash_dedup_components(d, id_col="doc_id", text_col="text",
+                                    num_hashes=_D3_NH, bands=_D3_BANDS,
+                                    hash_fn="md5")
+
+
 _D4_DIGITS = ",\n           ".join(
     f"strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1 AS d{j}"
     for j in range(16))
