@@ -250,10 +250,13 @@ def hybrid_search(vectors: DataFrame, graph_candidates: DataFrame,
     if vector_id is not None:
         out = out.where(F.col("vector_id") == vector_id)
     qvec = embed_text(query_text)
+    # ties broken by (uri, vector_id) — the reference sorts by score only
+    # (store-order ties); a content-keyed tiebreak keeps the result total
+    # and lets SQL oracles reproduce it without uuid5
     return (
         out.select(
             "record_id", "uri", "vector_id",
             F.round(cosine_to_literal(F.col("vector").cast("array<double>"), qvec), 6)
             .alias("score"))
-        .orderBy(F.desc("score"), F.asc("record_id")).limit(k)
+        .orderBy(F.desc("score"), F.asc("uri"), F.asc("vector_id")).limit(k)
     )

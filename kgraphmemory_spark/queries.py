@@ -1186,41 +1186,170 @@ def q_kg_vtexts(spark, sf):
     ]).select("uri", "vector_id", "text")
 
 
-@register("kg_hybrid_search")
+def _hybrid_sql() -> str:
+    """DuckDB twin of the sha256 hash embedder (functions/vector.embed_text)
+    + semi-join + top-k: hex byte j of sha256(token) → signed int8 → unit
+    vector → mean-pool per uri → cosine against the literal query vector.
+    Scores rounded to 4dp to absorb the float32 storage of the Spark
+    vectors column (SQL computes in float64)."""
+    import math
+
+    from .functions.vector import embed_text
+    q = embed_text("hash join")
+    qn = math.sqrt(sum(x * x for x in q))
+    hexd = "'0123456789abcdef'"
+    b_cols = ",\n           ".join(
+        f"(strpos({hexd}, substr(hx, {2 * j + 1}, 1)) - 1) * 16"
+        f" + strpos({hexd}, substr(hx, {2 * j + 2}, 1)) - 1 AS b{j}"
+        for j in range(16))
+    c_cols = ",\n           ".join(
+        f"CASE WHEN b{j} > 127 THEN b{j} - 256 ELSE b{j} END AS c{j}"
+        for j in range(16))
+    tnorm = "sqrt(" + " + ".join(f"1.0*c{j}*c{j}" for j in range(16)) + ")"
+    u_cols = ",\n           ".join(
+        f"c{j} / {tnorm} AS u{j}" for j in range(16))
+    a_cols = ",\n           ".join(
+        f"sum(u{j}) AS a{j}" for j in range(16))
+    dotq = " + ".join(f"a{j} * ({q[j]!r})" for j in range(16))
+    anorm = "sqrt(" + " + ".join(f"a{j}*a{j}" for j in range(16)) + ")"
+    return f"""
+  WITH ents AS ({SQL_ENTITIES}),
+  toks AS (
+    SELECT entity_id AS uri,
+           unnest(string_split_regex(trim(name), '\\s+')) AS t
+    FROM ents WHERE entity_type = 'urn:kg:Phrase'),
+  hx AS (SELECT uri, sha256(t) AS hx FROM toks),
+  bt AS (SELECT uri, {b_cols}
+         FROM hx),
+  sg AS (SELECT uri, {c_cols}
+         FROM bt),
+  un AS (SELECT uri, {u_cols}
+         FROM sg),
+  ac AS (SELECT uri, {a_cols}
+         FROM un GROUP BY uri),
+  sc AS (SELECT uri, ({dotq}) / ({anorm} * {qn!r}) AS score FROM ac)
+  SELECT uri, 'entity_value' AS vector_id, round(score, 4) AS score
+  FROM sc ORDER BY round(score, 4) DESC, uri LIMIT 5
+"""
+
+
+@register("kg_hybrid_search", _hybrid_sql())
 def q_kg_hybrid(spark, sf):
     """J6 hybrid search: kNN over entity vectors constrained to a graph-side
     candidate set via ONE left-semi join (replaces the reference's
-    ASK-per-candidate loop, kgraph.py:322-346).  uuid5 ids + hash embedder
-    → rows-only here; exactness asserted vs a brute-force python oracle in
+    ASK-per-candidate loop, kgraph.py:322-346).  The oracle recomputes the
+    deterministic hash embedder in SQL (round 2 — was rows-only);
+    exactness also asserted vs a brute-force python oracle in
     tests/test_vectors.py."""
     from .operators.vectors import build_vector_records, hybrid_search
     kg = kg_tables(spark, sf)
     vectors = build_vector_records(kg.entities)
     phrases = kg.entities.where(F.col("entity_type") == "urn:kg:Phrase")
     return hybrid_search(vectors, phrases, "hash join", k=5,
-                         vector_id="entity_value")
+                         vector_id="entity_value").select(
+        "uri", "vector_id", F.round("score", 4).alias("score"))
 
 
-@register("v4_lsh_ann")
+# ANN oracles: the hyperplanes/centroids are seeded sha256-derived floats
+# (operators/similarity._seeded_unit_vectors) — plan-time constants, so
+# they embed verbatim as DOUBLE[] literals in the DuckDB twin and the
+# whole index→probe→re-rank path is value-checked.
+
+def _sql_vec(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+
+def _ann_planes() -> list[list[float]]:
+    from .operators.similarity import _seeded_unit_vectors
+    return _seeded_unit_vectors(4, 64, "kgm-lsh-v1")
+
+
+def _ann_cents() -> list[list[float]]:
+    from .operators.similarity import _seeded_unit_vectors
+    return _seeded_unit_vectors(8, 64, "kgm-ivf-v1")
+
+
+def _v4_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {_sql_vec(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+  q AS (SELECT emb, bucket FROM b WHERE vec_id = 0)
+  SELECT b.vec_id,
+         round(list_cosine_similarity(b.emb, (SELECT emb FROM q)), 6) AS score
+  FROM b WHERE b.vec_id != 0 AND b.bucket = (SELECT bucket FROM q)
+  ORDER BY round(list_cosine_similarity(b.emb, (SELECT emb FROM q)), 6) DESC,
+           b.vec_id
+  LIMIT 10
+"""
+
+
+@register("v4_lsh_ann", _v4_sql())
 def q_v4(spark, sf):
     """LSH-bucketed ANN (scale path: probe 1/2^bits of the data; recall vs
-    brute force asserted in tests/test_dedup_similarity.py)."""
+    brute force asserted in tests/test_dedup_similarity.py).  Oracle
+    mirrors the plane literals, bucket packing, probe and re-rank."""
     from .operators.similarity import lsh_index, lsh_topk
     e = load(spark, sf, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
     indexed, planes = lsh_index(e.where(F.col("vec_id") != 0), dim=64, bits=4)
-    return lsh_topk(indexed, planes, qvec, k=10)
+    out = lsh_topk(indexed, planes, qvec, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-@register("v5_ivf_ann")
+def _v5_sql() -> str:
+    cents = _ann_cents()
+    s_cols = ",\n           ".join(
+        f"list_cosine_similarity(emb, {_sql_vec(c)}) AS s{i}"
+        for i, c in enumerate(cents))
+    smax = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
+    assign = "CASE " + " ".join(
+        f"WHEN s{i} >= {smax} THEN {i}" for i in range(len(cents))) + " END"
+    qs = ",\n           ".join(
+        f"list_cosine_similarity((SELECT emb FROM q), {_sql_vec(c)}) AS s{i}"
+        for i, c in enumerate(cents))
+    # probe = nprobe centroids nearest to the query; Spark's driver-side
+    # sorted((sim, ci), reverse=True) breaks sim ties by LARGER ci
+    qrank = " UNION ALL ".join(
+        f"SELECT {i} AS ci, s{i} AS s FROM qsim" for i in range(len(cents)))
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id != 0),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        WHERE vec_id = 0),
+  s AS (SELECT vec_id, emb,
+           {s_cols}
+        FROM e),
+  a AS (SELECT vec_id, emb, {assign} AS cluster FROM s),
+  qsim AS (SELECT {qs}
+           FROM q),
+  probe AS (SELECT ci FROM ({qrank}) ORDER BY s DESC, ci DESC LIMIT 4)
+  SELECT a.vec_id,
+         round(list_cosine_similarity(a.emb, (SELECT emb FROM q)), 6) AS score
+  FROM a WHERE a.cluster IN (SELECT ci FROM probe)
+  ORDER BY round(list_cosine_similarity(a.emb, (SELECT emb FROM q)), 6) DESC,
+           a.vec_id
+  LIMIT 10
+"""
+
+
+@register("v5_ivf_ann", _v5_sql())
 def q_v5(spark, sf):
-    """IVF-style ANN: seeded centroids, nprobe nearest clusters probed."""
+    """IVF-style ANN: seeded centroids, nprobe nearest clusters probed.
+    Oracle mirrors centroid literals, argmax assignment (ties → smallest
+    index, same as the fold's strict >), probe ranking and re-rank."""
     from .operators.similarity import ivf_index, ivf_topk
     e = load(spark, sf, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
     indexed, cents = ivf_index(e.where(F.col("vec_id") != 0), dim=64,
                                n_centroids=8)
-    return ivf_topk(indexed, cents, qvec, k=10, nprobe=4)
+    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 # ===================== multimodal (training-data pipeline) ================
