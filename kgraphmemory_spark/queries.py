@@ -1388,11 +1388,24 @@ def q_m2(spark, sf):
     )
 
 
-@register("m3_media_features")
+_M3_BINS = ", ".join(
+    f"1.0 * sum(CASE WHEN bin = {k} THEN 1 ELSE 0 END) / count(*)"
+    for k in range(8))
+
+
+@register("m3_media_features", f"""
+  WITH b AS (
+    SELECT doc_id, ord(substr(text, i + 1, 1)) // 32 AS bin
+    FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+          FROM documents))
+  SELECT doc_id, [{_M3_BINS}] AS feature
+  FROM b GROUP BY doc_id
+""")
 def q_m3(spark, sf):
-    """Multimodal feature extraction (fake backend: byte-histogram; numpy
-    inside the Arrow batch).  Array<double> output — rows-only; values
-    asserted vs numpy oracle in tests/test_multimodal.py."""
+    """Multimodal feature extraction (fake backend: L1-normalized 8-bin
+    byte histogram; numpy inside the Arrow batch).  The corpus is ASCII so
+    the DuckDB twin rebuilds the histogram from code points (round 2 —
+    was rows-only); float64 division is bit-identical on both sides."""
     from .operators.multimodal import extract_features, synth_media
     return extract_features(synth_media(load(spark, sf, "documents")))
 
