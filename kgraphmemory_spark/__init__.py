@@ -9,14 +9,19 @@ designed for 100 TB-scale corpora:
 - ``semantics``   — the pure-Python single-node oracle (rule-set webtext-v1)
 - ``pipeline``    — extract → link → canonicalize → materialize, with
                     snapshot checkpoints and per-partition lineage
-- ``operators``   — linking join (salted), connected components, store
-                    CRUD (object↔triple pivot), dedup family, similarity
-                    search (brute/LSH/IVF), multi-vector + hybrid search,
-                    multimodal decode/features/frames
+- ``operators``   — linking join (auto/broadcast/salted/shuffle),
+                    connected components, store CRUD (object↔triple
+                    pivot, clear), dedup family (incl. cluster-safe LSH
+                    dedup classes), similarity search (brute/LSH/IVF),
+                    multi-vector + point CRUD + hybrid search,
+                    chat/interaction surface, multimodal
+                    decode/features/frames
 - ``functions``   — pandas/Arrow UDFs (extraction, embedding, ids) and
                     JVM-side column helpers (cosine, text stats)
-- ``io``          — snapshot catalog (parquet + manifest; Iceberg-shaped)
-                    and N-Triples/N-Quads distributed parser + serializer
+- ``io``          — snapshot catalog (parquet + manifest; Iceberg-shaped),
+                    N-Triples/N-Quads distributed parser + serializer,
+                    Turtle-subset whole-file parser, bucket-partitioned
+                    graph-table sink (entity-keyed, pruned point lookups)
 - ``streaming``   — Structured Streaming incremental ingest (foreachBatch)
 - ``queries``     — driver-facing registry (queries() / oracle_sql())
 """

@@ -1545,6 +1545,51 @@ def q_u3(spark, sf):
     return a.intersect(b)
 
 
+@register("t5_corpus_filter", """
+  WITH q AS (
+    SELECT doc_id, text, lang,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+           length(text) AS n_chr,
+           length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_nopunct
+    FROM documents),
+  scored AS (
+    SELECT doc_id, text, lang, n_tok,
+           ((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN 1.0*n_chr/greatest(n_tok,1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN 1.0*(n_chr - n_nopunct)/greatest(n_chr,1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+           ) / 3.0 AS quality
+    FROM q),
+  keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_doc
+           FROM documents GROUP BY md5(text))
+  SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tokens,
+         round(s.quality, 4) AS quality
+  FROM scored s JOIN keep k ON k.h = md5(s.text) AND k.keep_doc = s.doc_id
+  WHERE s.quality >= 0.66 AND s.lang = 'en' AND s.n_tok >= 20
+""")
+def q_t5(spark, sf):
+    """The canonical training-data endpoint: quality filter + language
+    filter + exact-dedup keep-list composed into one kept-corpus query
+    (each stage is the oracle-verified operator t1/t2/d1 — this entry
+    proves the composition end-to-end)."""
+    from .operators.dedup import exact_duplicates
+    d = load(spark, sf, "documents")
+    keep = exact_duplicates(d, "doc_id", "text").select(
+        F.col("text_md5"), F.col("keep_id"))
+    return (
+        d.withColumn("text_md5", F.md5("text"))
+        .join(keep, "text_md5")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id",
+                TX.token_count(F.col("text")).alias("n_tokens"),
+                F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+                "lang")
+        .where((F.col("quality") >= 0.66) & (F.col("lang") == "en")
+               & (F.col("n_tokens") >= 20))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 # ===================== chat / interaction surface (round 2) ================
 
 _SQL_MESSAGES = """

@@ -166,6 +166,32 @@ def test_update_and_upsert(spark, objects, triples):
 # RDF line formats
 # ---------------------------------------------------------------------------
 
+def test_nt_roundtrip_adversarial_literals(spark):
+    """serialize→parse identity over generated adversarial literals:
+    every escape class (quote, backslash, newline, CR, tab), runs and
+    borders of escapes, unicode, and URI-shaped strings that must stay
+    literals when typed.  One Spark batch for all examples."""
+    import random
+    rng = random.Random(4217)
+    alphabet = list('ab"\\\n\r\t é中:<>') + ["\\n", '\\"', "\\\\"]
+    cases = {'"', "\\", "\\\\", '\\"', "a\\", "\\a", '"quoted"',
+             "line\nbreak\r\t", "tab\tend\t", "\\n not a newline",
+             "ends with backslash\\", "é中文", ""}
+    while len(cases) < 120:
+        cases.add("".join(rng.choice(alphabet)
+                          for _ in range(rng.randint(1, 12))))
+    rows = [(f"urn:s{i}", "urn:prop:v", c,
+             "http://www.w3.org/2001/XMLSchema#string", "urn:g")
+            for i, c in enumerate(sorted(cases))]
+    t = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "obj_datatype string, graph string")
+    back = parse_lines(serialize_lines(t, fmt="nquads"))
+    got = {r.subject: r.object for r in back.collect()}
+    want = {s: o for s, _, o, _, _ in rows}
+    assert got == want
+
+
 def test_nt_roundtrip_exact(triples):
     for fmt in ("ntriples", "nquads"):
         lines = serialize_lines(triples, fmt=fmt)
