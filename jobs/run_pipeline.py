@@ -57,11 +57,17 @@ def main() -> None:
                          "documents parquet to be lifted to that schema")
     ap.add_argument("--workdir", required=True,
                     help="snapshot root; rerun with the same dir to resume")
-    ap.add_argument("--link-strategy", default="broadcast",
-                    choices=["broadcast", "salted", "shuffle"])
+    ap.add_argument("--link-strategy", default="auto",
+                    choices=["auto", "broadcast", "salted", "shuffle"])
     ap.add_argument("--synthetic-pages", type=int, default=None,
                     help="generate N synthetic pages instead of reading "
                          "--input (bench/scaling runs)")
+    ap.add_argument("--graph-tables-out", default=None,
+                    help="also materialize the graph tables bucket-"
+                         "partitioned by canonical entity id (north rule: "
+                         "'partitioned graph tables keyed by canonical "
+                         "entity id'; io/graph_tables.py)")
+    ap.add_argument("--graph-buckets", type=int, default=64)
     args = ap.parse_args()
 
     spark = build_session("kgm-pipeline")
@@ -90,6 +96,10 @@ def main() -> None:
         "relations": kg.relations.count(),
         "triples_long": kg.triples.count(),
     }
+    if args.graph_tables_out:
+        from kgraphmemory_spark.io.graph_tables import write_graph_tables
+        counts["graph_tables"] = write_graph_tables(
+            kg, args.graph_tables_out, buckets=args.graph_buckets)
     wall = time.time() - t0
     print(json.dumps({
         "metric": "kg_construction_wall_clock",

@@ -50,6 +50,7 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--input", "unused", "--synthetic-pages", "300",
         "--workdir", workdir, "--link-strategy", "salted",
+        "--graph-tables-out", str(tmp_path / "graph"), "--graph-buckets", "8",
     ]
     env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
            "PYSPARK_DRIVER_PYTHON": sys.executable}
@@ -62,6 +63,10 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
     assert m1["counts"]["docs"] == 300
     assert m1["counts"]["relations"] > 0
     assert m1["stages_resumed"] == []
+    # bucketed graph-table sink written by the job (north-rule materialize)
+    assert m1["counts"]["graph_tables"]["entities"] > 0
+    import glob
+    assert glob.glob(str(tmp_path / "graph" / "entities" / "id_bucket=*"))
 
     # second run, same workdir → every stage resumes from its snapshot
     r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
