@@ -78,6 +78,30 @@ ex:carol ex:name "Carol" ; a ex:Person .
     assert len(got) == len(want)
 
 
+def test_turtle_parses_ntriples_output(spark):
+    """N-Triples is a subset of Turtle: serialize_lines output must parse
+    identically through BOTH parsers (cross-validates escape handling)."""
+    from kgraphmemory_spark.io.rdf import parse_lines, serialize_lines
+    rows = [
+        ("urn:e1", "urn:p", 'esc "q" \\back\nnl\ttab', None, None, "urn:g"),
+        ("urn:e1", "urn:p2", "urn:e2", None, None, "urn:g"),
+        ("_:b1", "urn:p3", "plain words", None, "en", "urn:g"),
+        ("urn:e3", "urn:p4", "42", "http://www.w3.org/2001/XMLSchema#integer",
+         None, "urn:g"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "obj_datatype string, obj_lang string, graph string")
+    nt_lines = [r.value for r in serialize_lines(t, fmt="ntriples").collect()]
+    via_nt = {tuple(r) for r in
+              parse_lines(spark.createDataFrame(
+                  [(l,) for l in nt_lines], "value string")).collect()}
+    via_ttl = {tuple(r) for r in parse_turtle_text("\n".join(nt_lines))}
+    # align graph column (NT lines carry no graph; both parsers yield None)
+    assert via_ttl == via_nt
+    assert len(via_ttl) == len(rows)
+
+
 def test_turtle_into_store_ops(spark, tmp_path):
     (tmp_path / "a.ttl").write_text(TTL)
     t = load_turtle(spark, str(tmp_path), default_graph="urn:g")
