@@ -1,0 +1,211 @@
+"""JSON-LD (subset) whole-file parser — with turtle.py and rdfxml.py this
+closes S20's format list (SURVEY.md §2.1; the reference delegates
+``fmt="json-ld"`` to pyoxigraph, kgraph_rdf_db.py:493-511, which this
+sandbox does not ship).
+
+Supported subset — expanded and simply-compacted documents:
+- ``@context``: term → IRI string, term → ``{"@id": iri, "@type":
+  "@id" | <datatype-iri>}``, plus ``@vocab`` and ``@base``;
+- node objects: ``@id`` (relative resolved against ``@base``; absent →
+  fresh blank node), ``@type`` (string or list) → ``rdf:type`` triples;
+- values: JSON string → plain literal (or IRI under a term coerced
+  ``"@type": "@id"``), int → xsd:integer, float → xsd:double, bool →
+  xsd:boolean, ``{"@value": …, "@type"/"@language": …}`` expanded-form
+  literals, ``{"@id": …}`` IRI objects, nested node objects (emitted
+  recursively, linked by their id), and JSON arrays of any of these;
+- ``@graph``: a top-level or node-level graph container; when the holder
+  has an ``@id`` the contained triples land in that named graph,
+  otherwise in ``default_graph``.
+
+NOT supported (documented limitation): ``@reverse``, ``@list`` /
+``@container`` semantics (arrays are treated as multi-valued, i.e.
+``@set``), ``@nest``, ``@included``, remote contexts (a string
+``@context`` raises — fetching URLs from executors is not a thing this
+engine does), and ``@json`` literals.
+
+Scale shape: same as turtle.py — JSON documents are not splittable, so
+parallelism is one task per file via wholetext + Arrow-batched
+mapInPandas.  Blank-node labels (``_:j<n>``) are document-scoped.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_KEYWORDS = {"@id", "@type", "@value", "@language", "@context", "@graph",
+             "@base", "@vocab"}
+
+
+class _Ctx:
+    def __init__(self, raw: dict | None):
+        raw = raw or {}
+        if not isinstance(raw, dict):
+            raise ValueError(
+                "remote/array @context is outside the supported subset")
+        self.base = raw.get("@base", "") or ""
+        self.vocab = raw.get("@vocab", "") or ""
+        self.terms: dict[str, dict] = {}
+        for term, defn in raw.items():
+            if term.startswith("@"):
+                continue
+            if isinstance(defn, str):
+                self.terms[term] = {"@id": defn}
+            elif isinstance(defn, dict) and "@id" in defn:
+                self.terms[term] = defn
+            else:
+                raise ValueError(f"unsupported @context entry {term!r}")
+
+    def _expand_ref(self, name: str) -> str:
+        """Expand a term / compact IRI / relative IRI used in IRI position."""
+        if name in self.terms:
+            return self.terms[name]["@id"]
+        if ":" in name:
+            pfx, local = name.split(":", 1)
+            if pfx in self.terms and not local.startswith("//"):
+                return self.terms[pfx]["@id"] + local
+            return name                      # already an absolute IRI
+        if self.base:
+            return self.base + name
+        return name
+
+    def expand_prop(self, name: str) -> tuple[str, dict]:
+        """→ (predicate IRI, term definition) for a node-object key."""
+        defn = self.terms.get(name, {})
+        if name in self.terms:
+            iri = self._expand_ref(defn["@id"])
+        elif ":" in name:
+            iri = self._expand_ref(name)
+        elif self.vocab:
+            iri = self.vocab + name
+        else:
+            raise ValueError(f"cannot expand property {name!r}: "
+                             "no term, prefix, or @vocab")
+        return iri, defn
+
+
+class _Parser:
+    def __init__(self, default_graph: str | None):
+        self.rows: list[tuple] = []
+        self.default_graph = default_graph
+        self._bn = 0
+
+    def _blank(self) -> str:
+        self._bn += 1
+        return f"_:j{self._bn}"
+
+    def parse(self, doc, ctx: _Ctx | None = None,
+              graph: str | None = None) -> None:
+        graph = graph if graph is not None else self.default_graph
+        if isinstance(doc, list):
+            for node in doc:
+                self.parse(node, ctx, graph)
+            return
+        if not isinstance(doc, dict):
+            raise ValueError(f"top-level JSON-LD value must be an object "
+                             f"or array, got {type(doc).__name__}")
+        if "@context" in doc:
+            ctx = _Ctx(doc["@context"])
+        ctx = ctx or _Ctx(None)
+        if "@graph" in doc:
+            g = ctx._expand_ref(doc["@id"]) if "@id" in doc else graph
+            self.parse(doc["@graph"], ctx, g)
+            # a graph holder may also carry its own properties
+            rest = {k: v for k, v in doc.items()
+                    if k not in ("@graph", "@context")}
+            if set(rest) - {"@id"}:
+                self._node(rest, ctx, graph)
+            return
+        self._node(doc, ctx, graph)
+
+    def _node(self, node: dict, ctx: _Ctx, graph: str | None) -> str:
+        subj = (ctx._expand_ref(node["@id"]) if "@id" in node
+                else self._blank())
+        types = node.get("@type", [])
+        for t in types if isinstance(types, list) else [types]:
+            self.rows.append((subj, RDF_TYPE, ctx._expand_ref(t),
+                              None, None, graph))
+        for key, value in node.items():
+            if key in _KEYWORDS:
+                continue
+            if key.startswith("@"):
+                raise ValueError(f"unsupported JSON-LD keyword {key!r}")
+            pred, defn = ctx.expand_prop(key)
+            values = value if isinstance(value, list) else [value]
+            for v in values:
+                self._value(subj, pred, defn, v, ctx, graph)
+        return subj
+
+    def _value(self, subj: str, pred: str, defn: dict, v,
+               ctx: _Ctx, graph: str | None) -> None:
+        emit = self.rows.append
+        if isinstance(v, dict):
+            if "@value" in v:
+                dt = v.get("@type")
+                emit((subj, pred, _lexical(v["@value"]),
+                      ctx._expand_ref(dt) if dt else _implied_dt(v["@value"]),
+                      v.get("@language"), graph))
+            elif set(v) == {"@id"}:
+                emit((subj, pred, ctx._expand_ref(v["@id"]),
+                      None, None, graph))
+            else:                            # nested node object
+                obj = self._node(v, ctx, graph)
+                emit((subj, pred, obj, None, None, graph))
+        elif isinstance(v, bool):
+            emit((subj, pred, "true" if v else "false",
+                  XSD + "boolean", None, graph))
+        elif isinstance(v, int):
+            emit((subj, pred, str(v), XSD + "integer", None, graph))
+        elif isinstance(v, float):
+            emit((subj, pred, repr(v), XSD + "double", None, graph))
+        elif isinstance(v, str):
+            if defn.get("@type") == "@id":
+                emit((subj, pred, ctx._expand_ref(v), None, None, graph))
+            else:
+                dt = defn.get("@type")
+                emit((subj, pred, v, ctx._expand_ref(dt) if dt else None,
+                      None, graph))
+        elif v is None:
+            pass                             # JSON null drops the value
+        else:
+            raise ValueError(f"unsupported JSON-LD value {v!r}")
+
+
+def _lexical(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _implied_dt(v) -> str | None:
+    if isinstance(v, bool):
+        return XSD + "boolean"
+    if isinstance(v, int):
+        return XSD + "integer"
+    if isinstance(v, float):
+        return XSD + "double"
+    return None
+
+
+def parse_jsonld_text(text: str,
+                      default_graph: str | None = None) -> list[tuple]:
+    """Pure-python single-document parse → [(subject, predicate, object,
+    obj_datatype, obj_lang, graph)] — also the oracle for the Spark path."""
+    p = _Parser(default_graph)
+    p.parse(json.loads(text))
+    return p.rows
+
+
+def load_jsonld(spark: SparkSession, path: str,
+                default_graph: str | None = None) -> DataFrame:
+    """Distributed JSON-LD load: one task per file (wholetext scan),
+    Arrow-batched parse via mapInPandas; schema identical to
+    io.rdf.parse_lines so every downstream store operator applies."""
+    from .turtle import _wholefile_loader
+    return _wholefile_loader(spark, path, parse_jsonld_text, default_graph)

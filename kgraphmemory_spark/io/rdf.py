@@ -21,11 +21,12 @@ the same syntactic distinction, kgraph_rdf_db.py:953-1001).  Either way
 parse(serialize(df)) round-trips the table exactly — both arms yield the
 original string back.
 
-Turtle (S20) has a whole-file subset parser in io/turtle.py (one task per
-file — non-splittable by nature; N-Triples output is itself valid Turtle
-for the serialize direction).  RDF-XML / TriG / JSON-LD remain documented
-limitations (a whole-file pandas-UDF would wrap an external parser, which
-this sandbox does not ship).
+Non-line formats (S20) have whole-file subset parsers — Turtle + TriG in
+io/turtle.py, JSON-LD in io/jsonld.py, RDF/XML in io/rdfxml.py (one task
+per file — non-splittable by nature; N-Triples output is itself valid
+Turtle for the serialize direction).  ``import_rdf`` below dispatches on
+the format name exactly like the reference's format table
+(kgraph_rdf_db.py:493-511).
 """
 
 from __future__ import annotations
@@ -160,3 +161,26 @@ def load_ntriples(spark, path: str, default_graph: str | None = None) -> DataFra
 
 def write_ntriples(triples: DataFrame, path: str, fmt: str = "ntriples") -> None:
     serialize_lines(triples, fmt=fmt).write.mode("overwrite").text(path)
+
+
+def import_rdf(spark, path: str, fmt: str = "ntriples",
+               default_graph: str | None = None) -> DataFrame:
+    """S9 format-dispatched load (kgraph_rdf_db.py:493-511's RdfFormat
+    table).  Line formats take the splittable `spark.read.text` path;
+    whole-file formats take the one-task-per-file wholetext path."""
+    fmt = fmt.lower().replace("_", "-")
+    if fmt in ("ntriples", "n-triples", "nt", "nquads", "n-quads", "nq"):
+        return load_ntriples(spark, path, default_graph)
+    if fmt in ("turtle", "ttl"):
+        from .turtle import load_turtle
+        return load_turtle(spark, path, default_graph)
+    if fmt == "trig":
+        from .turtle import load_trig
+        return load_trig(spark, path, default_graph)
+    if fmt in ("json-ld", "jsonld"):
+        from .jsonld import load_jsonld
+        return load_jsonld(spark, path, default_graph)
+    if fmt in ("rdf-xml", "rdfxml", "xml"):
+        from .rdfxml import load_rdfxml
+        return load_rdfxml(spark, path, default_graph)
+    raise ValueError(f"unsupported RDF format {fmt!r}")

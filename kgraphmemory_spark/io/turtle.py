@@ -1,5 +1,5 @@
-"""Turtle (subset) whole-file parser — closes the S20 gap for the most
-common profile (SURVEY.md §2.1; reference load path
+"""Turtle + TriG (subset) whole-file parser — closes the S20 gap for the
+most common profile (SURVEY.md §2.1; reference load path
 kgraph_rdf_db.py:410-427 delegates these formats to pyoxigraph, which this
 sandbox does not ship).
 
@@ -13,7 +13,17 @@ published Turtle:
 - predicate lists with ``;`` and object lists with ``,``;
 - literals ``"..."`` with ``\\`` escapes (incl. ``\\uXXXX``), optional
   ``^^dt`` (IRI or prefixed) or ``@lang``; numeric shorthand
-  (xsd:integer / xsd:decimal) and ``true``/``false`` (xsd:boolean).
+  (xsd:integer / xsd:decimal) and ``true``/``false`` (xsd:boolean);
+- TriG graph blocks (kgraph_rdf_db.py:497 RdfFormat.TRIG):
+  ``GRAPH <g> { ... }``, bare ``<g> { ... }`` / ``p:g { ... }``, and an
+  anonymous ``{ ... }`` default-graph block; the final ``.`` inside a
+  block is optional, per the TriG grammar.  Triples outside any block go
+  to ``default_graph`` exactly like plain Turtle.
+
+Blank-node labels are kept verbatim and are therefore *document*-scoped,
+same as the N-Triples path (io/rdf.py parse_lines): loading two files
+that both use ``_:b1`` merges those nodes.  Callers that need file-scoped
+bnodes should rewrite labels after load (they carry the ``_:`` prefix).
 
 NOT supported (documented limitation, same as round 1): blank-node
 property lists ``[...]``, collections ``(...)``, triple-quoted strings.
@@ -52,9 +62,10 @@ _TOKEN = re.compile(
     | (?P<blank>_:[\w\-]+(?:\.[\w\-]+)*)
     | (?P<num>[+-]?(?:\d+\.\d+|\d+))
     | (?P<pname>(?:[A-Za-z_][\w.\-]*)?:(?:[\w\-%]+(?:\.[\w\-%]+)*)?)
-    | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|true\b|false\b|a\b)
+    | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|true\b|false\b|a\b
+             |(?i:GRAPH)\b)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
-    | (?P<punct>[;,.])
+    | (?P<punct>[;,.{}])
     """,
     re.X,
 )
@@ -181,13 +192,59 @@ class _Parser:
                     if (pk, ptok2) != ("punct", "."):
                         raise ValueError("@base not terminated by '.'")
                 continue
+            if k == "kw" and t.lower() == "graph":       # GRAPH <g> { ... }
+                toks.next()
+                gk, gt = toks.next()
+                self._block(toks, rows, self._graph_name(gk, gt))
+                continue
+            if (k, t) == ("punct", "{"):                 # anonymous { ... }
+                self._block(toks, rows, self.graph)
+                continue
+            if k in ("iri", "pname", "blank"):
+                # one token of lookahead decides bare-name block vs subject
+                toks.next()
+                name = self._graph_name(k, t)
+                if toks.peek() == ("punct", "{"):        # <g> { ... }
+                    self._block(toks, rows, name)
+                else:
+                    self._statement(toks, rows, subj=name)
+                continue
             self._statement(toks, rows)
 
-    def _statement(self, toks, rows: list[tuple]) -> None:
-        sk, st = toks.next()
-        subj, _, _, lit = self._term(sk, st, toks)
-        if lit:
-            raise ValueError(f"literal subject {st!r}")
+    def _graph_name(self, kind: str, tok: str) -> str:
+        if kind == "iri":
+            return self._resolve_iri(tok)
+        if kind == "pname":
+            return self._resolve_pname(tok)
+        if kind == "blank":
+            return tok
+        raise ValueError(f"bad graph name / subject token {tok!r}")
+
+    def _block(self, toks, rows: list[tuple], name: str | None) -> None:
+        bk, bt = toks.next()
+        if (bk, bt) != ("punct", "{"):
+            raise ValueError(f"expected '{{' after graph name, got {bt!r}")
+        outer = self.graph
+        self.graph = name
+        try:
+            while True:
+                k, t = toks.peek()
+                if (k, t) == ("punct", "}"):
+                    toks.next()
+                    return
+                if k is None:
+                    raise ValueError("unterminated graph block")
+                self._statement(toks, rows, in_block=True)
+        finally:
+            self.graph = outer
+
+    def _statement(self, toks, rows: list[tuple], subj: str | None = None,
+                   in_block: bool = False) -> None:
+        if subj is None:
+            sk, st = toks.next()
+            subj, _, _, lit = self._term(sk, st, toks)
+            if lit:
+                raise ValueError(f"literal subject {st!r}")
         while True:
             pk, pt = toks.next()
             if pk == "kw" and pt == "a":
@@ -200,18 +257,25 @@ class _Parser:
                 ok, ot = toks.next()
                 obj, dt, lang, _ = self._term(ok, ot, toks)
                 rows.append((subj, pred, obj, dt, lang, self.graph))
-                nk, nt = toks.next()
+                nk, nt = toks.peek()
                 if (nk, nt) == ("punct", ","):
+                    toks.next()
                     continue
                 break
             if (nk, nt) == ("punct", ";"):
-                # allow trailing ';' before the final '.'
+                toks.next()
+                # allow trailing ';' before the final '.' (or '}')
                 if toks.peek() == ("punct", "."):
                     toks.next()
                     return
+                if in_block and toks.peek() == ("punct", "}"):
+                    return
                 continue
             if (nk, nt) == ("punct", "."):
+                toks.next()
                 return
+            if in_block and (nk, nt) == ("punct", "}"):
+                return  # final '.' inside a block is optional in TriG
             raise ValueError(f"expected ';' ',' or '.', got {nt!r}")
 
 
@@ -236,27 +300,46 @@ class _Peekable:
 def parse_turtle_text(text: str,
                       default_graph: str | None = None) -> list[tuple]:
     """Pure-python single-document parse → [(subject, predicate, object,
-    obj_datatype, obj_lang, graph)] — also the oracle for the Spark path."""
+    obj_datatype, obj_lang, graph)] — also the oracle for the Spark path.
+    Accepts both Turtle and TriG (graph blocks override default_graph)."""
     return _Parser(default_graph).parse(text)
 
 
 _COLS = ["subject", "predicate", "object", "obj_datatype", "obj_lang", "graph"]
 
 
-def load_turtle(spark: SparkSession, path: str,
-                default_graph: str | None = None) -> DataFrame:
-    """Distributed Turtle load: one task per file (wholetext scan),
-    Arrow-batched parse via mapInPandas; output schema identical to
-    io.rdf.parse_lines so every downstream store operator applies."""
+_SCHEMA = ("subject string, predicate string, object string, "
+           "obj_datatype string, obj_lang string, graph string")
+
+
+def _wholefile_loader(spark: SparkSession, path: str, parse_fn,
+                      default_graph: str | None) -> DataFrame:
+    """Shared plan for non-splittable RDF formats (turtle/trig/json-ld/
+    rdf-xml): one task per file (wholetext scan) — a many-file corpus
+    parallelizes across files — with an Arrow-batched mapInPandas parse;
+    output schema identical to io.rdf.parse_lines so every downstream
+    store operator applies."""
     files = spark.read.format("text").option("wholetext", "true").load(path)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
             for text in pdf["value"]:
-                rows.extend(parse_turtle_text(text, default_graph))
+                rows.extend(parse_fn(text, default_graph))
             yield pd.DataFrame(rows, columns=_COLS)
 
-    schema = ("subject string, predicate string, object string, "
-              "obj_datatype string, obj_lang string, graph string")
-    return files.mapInPandas(_parse, schema=schema)
+    return files.mapInPandas(_parse, schema=_SCHEMA)
+
+
+def load_turtle(spark: SparkSession, path: str,
+                default_graph: str | None = None) -> DataFrame:
+    """Distributed Turtle load — see _wholefile_loader for the plan."""
+    return _wholefile_loader(spark, path, parse_turtle_text, default_graph)
+
+
+def load_trig(spark: SparkSession, path: str,
+              default_graph: str | None = None) -> DataFrame:
+    """Distributed TriG load (kgraph_rdf_db.py:497 RdfFormat.TRIG): the
+    grammar is a strict superset of the Turtle subset, so this is the same
+    one-task-per-file wholetext + mapInPandas plan as load_turtle."""
+    return load_turtle(spark, path, default_graph)

@@ -1,0 +1,212 @@
+"""S20 non-line formats: TriG graph blocks, JSON-LD subset, RDF/XML
+subset — pure-python grammar vs the distributed wholetext+mapInPandas
+path, plus the `import_rdf` format dispatch (the reference's RdfFormat
+table, kgraph_rdf_db.py:493-511)."""
+
+import pytest
+
+from kgraphmemory_spark.io.jsonld import parse_jsonld_text
+from kgraphmemory_spark.io.rdf import import_rdf
+from kgraphmemory_spark.io.rdfxml import parse_rdfxml_text
+from kgraphmemory_spark.io.turtle import RDF_TYPE, XSD, parse_turtle_text
+
+EX = "http://example.org/"
+
+TRIG = """\
+@prefix ex: <http://example.org/> .
+ex:outside ex:p "top" .
+GRAPH ex:g1 {
+  ex:a ex:b ex:c .
+  ex:a ex:n 42
+}
+<http://example.org/g2> {
+  ex:d a ex:T ;
+       ex:label "hi"@en , "deux"@fr .
+}
+{ ex:anon ex:p true . }
+graph _:bg { _:s ex:p "x"^^ex:dt }
+ex:after ex:p ex:q .
+"""
+
+JSONLD = """{
+  "@context": {"ex": "http://example.org/", "name": "http://example.org/name",
+               "knows": {"@id": "http://example.org/knows", "@type": "@id"},
+               "@vocab": "http://vocab.org/", "@base": "http://base.org/"},
+  "@graph": [
+    {"@id": "ex:alice", "@type": "ex:Person", "name": "Alice",
+     "age": 30, "score": 1.5, "active": true,
+     "knows": ["ex:bob", "rel"],
+     "note": {"@value": "bonjour", "@language": "fr"},
+     "height": {"@value": "1.7", "@type": "ex:metres"},
+     "pet": {"@type": "ex:Cat", "name": "Tom"}}
+  ]
+}"""
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/" xml:lang="en">
+  <ex:Person rdf:about="http://example.org/alice" ex:nick="Al">
+    <ex:name>Alice</ex:name>
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+    <ex:knows rdf:resource="http://example.org/bob"/>
+    <ex:pet><ex:Cat><ex:name xml:lang="fr">Tom</ex:name></ex:Cat></ex:pet>
+    <ex:addr rdf:parseType="Resource"><ex:city>Paris</ex:city></ex:addr>
+    <ex:friend rdf:nodeID="b7"/>
+  </ex:Person>
+  <rdf:Description rdf:nodeID="b7"><ex:name>Bob</ex:name></rdf:Description>
+</rdf:RDF>"""
+
+
+# ---------------------------------------------------------------- TriG
+
+def test_trig_graph_blocks():
+    rows = parse_turtle_text(TRIG, default_graph="urn:d")
+    graphs = {(s, p, o): g for s, p, o, _, _, g in rows}
+    # triples outside any block keep the default graph
+    assert graphs[(EX + "outside", EX + "p", "top")] == "urn:d"
+    assert graphs[(EX + "after", EX + "p", EX + "q")] == "urn:d"
+    # GRAPH <name> { } — final '.' optional inside the block
+    assert graphs[(EX + "a", EX + "b", EX + "c")] == EX + "g1"
+    assert graphs[(EX + "a", EX + "n", "42")] == EX + "g1"
+    # bare <iri> { } with predicate/object lists
+    assert graphs[(EX + "d", RDF_TYPE, EX + "T")] == EX + "g2"
+    langs = {(o, lang) for s, p, o, _, lang, g in rows
+             if p == EX + "label" and g == EX + "g2"}
+    assert langs == {("hi", "en"), ("deux", "fr")}
+    # anonymous { } block → default graph; blank-node graph name kept
+    assert graphs[(EX + "anon", EX + "p", "true")] == "urn:d"
+    assert graphs[("_:s", EX + "p", "x")] == "_:bg"
+    assert len(rows) == 9
+
+
+def test_trig_unterminated_block_raises():
+    with pytest.raises(ValueError, match="unterminated graph block"):
+        parse_turtle_text("@prefix ex: <http://e/> .\n"
+                          "GRAPH ex:g { ex:a ex:b ex:c .")
+
+
+def test_plain_turtle_unchanged_by_trig_support():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> . ex:a ex:b ex:c .", "urn:d")
+    assert rows == [("http://e/a", "http://e/b", "http://e/c",
+                     None, None, "urn:d")]
+
+
+# ------------------------------------------------------------- JSON-LD
+
+def test_jsonld_semantics():
+    rows = parse_jsonld_text(JSONLD, default_graph="urn:d")
+    d = {(s, p): (o, dt, lang) for s, p, o, dt, lang, _ in rows}
+    a = EX + "alice"
+    assert d[(a, RDF_TYPE)] == (EX + "Person", None, None)
+    assert d[(a, EX + "name")] == ("Alice", None, None)
+    # @vocab expansion + JSON-native typed literals
+    assert d[(a, "http://vocab.org/age")] == ("30", XSD + "integer", None)
+    assert d[(a, "http://vocab.org/score")] == ("1.5", XSD + "double", None)
+    assert d[(a, "http://vocab.org/active")] == ("true", XSD + "boolean", None)
+    # coerced @type:@id term: compact IRI and @base-relative string
+    knows = {o for s, p, o, *_ in rows if p == EX + "knows"}
+    assert knows == {EX + "bob", "http://base.org/rel"}
+    # expanded-form literals
+    assert d[(a, "http://vocab.org/note")] == ("bonjour", None, "fr")
+    assert d[(a, "http://vocab.org/height")] == ("1.7", EX + "metres", None)
+    # nested node object → blank node + its own triples
+    pet = d[(a, "http://vocab.org/pet")][0]
+    assert pet.startswith("_:")
+    assert d[(pet, RDF_TYPE)] == (EX + "Cat", None, None)
+    assert d[(pet, EX + "name")] == ("Tom", None, None)
+    assert all(r[5] == "urn:d" for r in rows)
+
+
+def test_jsonld_named_graph_and_errors():
+    g = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:g1", '
+         '"@graph": [{"@id": "ex:a", "@type": "ex:T"}]}')
+    rows = parse_jsonld_text(g, "urn:d")
+    assert rows == [(EX + "a", RDF_TYPE, EX + "T", None, None, EX + "g1")]
+    with pytest.raises(ValueError, match="remote/array @context"):
+        parse_jsonld_text('{"@context": "http://remote/ctx", "@id": "x"}')
+    with pytest.raises(ValueError, match="cannot expand property"):
+        parse_jsonld_text('{"@id": "http://e/a", "bare": 1}')
+    with pytest.raises(ValueError, match="unsupported JSON-LD keyword"):
+        parse_jsonld_text('{"@id": "http://e/a", '
+                          '"@reverse": {"http://e/p": {"@id": "http://e/b"}}}')
+
+
+# -------------------------------------------------------------- RDF/XML
+
+def test_rdfxml_semantics():
+    rows = parse_rdfxml_text(RDFXML, default_graph="urn:d")
+    d = {(s, p): (o, dt, lang) for s, p, o, dt, lang, _ in rows}
+    a = EX + "alice"
+    # typed node element → rdf:type; property attribute → literal
+    assert d[(a, RDF_TYPE)] == (EX + "Person", None, None)
+    assert d[(a, EX + "nick")] == ("Al", None, "en")
+    # inherited xml:lang on text property, overridden in nested element
+    assert d[(a, EX + "name")] == ("Alice", None, "en")
+    assert d[(a, EX + "age")] == ("30", XSD + "integer", None)
+    assert d[(a, EX + "knows")] == (EX + "bob", None, None)
+    pet = d[(a, EX + "pet")][0]
+    assert d[(pet, RDF_TYPE)] == (EX + "Cat", None, None)
+    assert d[(pet, EX + "name")] == ("Tom", None, "fr")
+    # parseType=Resource → fresh blank with child properties
+    addr = d[(a, EX + "addr")][0]
+    assert addr.startswith("_:")
+    assert d[(addr, EX + "city")] == ("Paris", None, "en")
+    # rdf:nodeID links both directions
+    assert d[(a, EX + "friend")] == ("_:b7", None, None)
+    assert d[("_:b7", EX + "name")] == ("Bob", None, "en")
+    assert all(r[5] == "urn:d" for r in rows)
+
+
+def test_rdfxml_unsupported_parsetype_raises():
+    bad = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/a">'
+           '<ex:p rdf:parseType="Collection"/></rdf:Description></rdf:RDF>')
+    with pytest.raises(ValueError, match="unsupported rdf:parseType"):
+        parse_rdfxml_text(bad)
+
+
+# --------------------------------------------- distributed + dispatch
+
+def test_import_rdf_dispatch_distributed(spark, tmp_path):
+    """Every whole-file format loads through import_rdf and matches its
+    pure-python oracle; the N-Triples arm still takes the line path."""
+    (tmp_path / "trig").mkdir()
+    (tmp_path / "jsonld").mkdir()
+    (tmp_path / "rdfxml").mkdir()
+    (tmp_path / "nt").mkdir()
+    (tmp_path / "trig" / "a.trig").write_text(TRIG)
+    (tmp_path / "jsonld" / "a.jsonld").write_text(JSONLD)
+    (tmp_path / "rdfxml" / "a.rdf").write_text(RDFXML)
+    (tmp_path / "nt" / "a.nt").write_text(
+        "<http://example.org/a> <http://example.org/b> "
+        "<http://example.org/c> .\n")
+
+    for fmt, path, oracle in [
+        ("trig", tmp_path / "trig", parse_turtle_text(TRIG, "urn:d")),
+        ("json-ld", tmp_path / "jsonld", parse_jsonld_text(JSONLD, "urn:d")),
+        ("rdf-xml", tmp_path / "rdfxml", parse_rdfxml_text(RDFXML, "urn:d")),
+    ]:
+        df = import_rdf(spark, str(path), fmt=fmt, default_graph="urn:d")
+        assert {tuple(r) for r in df.collect()} == set(oracle), fmt
+
+    nt = import_rdf(spark, str(tmp_path / "nt"), fmt="ntriples")
+    assert [tuple(r)[:3] for r in nt.collect()] == [
+        (EX + "a", EX + "b", EX + "c")]
+    with pytest.raises(ValueError, match="unsupported RDF format"):
+        import_rdf(spark, str(tmp_path / "nt"), fmt="n3")
+
+
+def test_formats_into_store_ops(spark, tmp_path):
+    """Loaded JSON-LD flows through the same long-table store operators
+    as every other source (pattern scan + serialize roundtrip)."""
+    from kgraphmemory_spark.io.rdf import parse_lines, serialize_lines
+    from kgraphmemory_spark.operators.store import get_triples
+    (tmp_path / "a.jsonld").write_text(JSONLD)
+    t = import_rdf(spark, str(tmp_path), fmt="jsonld", default_graph="urn:d")
+    hits = get_triples(t, s=EX + "alice", p=EX + "name").collect()
+    assert [h.object for h in hits] == ["Alice"]
+    # NT-expressible subset round-trips through serialize → parse
+    nt = serialize_lines(t.where("obj_lang IS NULL"), fmt="ntriples")
+    back = parse_lines(nt)
+    assert back.count() == t.where("obj_lang IS NULL").count()
