@@ -245,3 +245,22 @@ def upsert_objects(triples: DataFrame, incoming: DataFrame) -> DataFrame:
         triples.join(F.broadcast(subjects), "subject", "left_anti")
         .unionByName(incoming, allowMissingColumns=True)
     )
+
+
+def apply_update(triples: DataFrame,
+                 delete: dict | None = None,
+                 insert: DataFrame | None = None) -> DataFrame:
+    """SPARQL UPDATE analog (kgraph_rdf_db.py:342-357 `sparql_update`,
+    which hands a ``DELETE { } INSERT { } WHERE { }`` string to the
+    embedded store): the engine's update surface is the same two
+    primitives — a pattern delete (``delete`` keyword args for
+    remove_triples: s/p/o/g, None = wildcard) followed by an insert of
+    ground triples — composed here into one transform.  On Iceberg this
+    is a single MERGE; re-expressing the full SPARQL UPDATE grammar is a
+    documented non-goal (SURVEY.md §7.4)."""
+    out = triples
+    if delete is not None:
+        out = remove_triples(out, **delete)
+    if insert is not None:
+        out = out.unionByName(insert, allowMissingColumns=True)
+    return out

@@ -237,3 +237,22 @@ def test_file_roundtrip(spark, triples, tmp_path):
     assert back.count() == triples.count()
     assert (back.select("subject", "predicate", "object").exceptAll(
         triples.select("subject", "predicate", "object")).count() == 0)
+
+
+def test_apply_update_delete_insert(spark, triples):
+    """SPARQL UPDATE analog (kgraph_rdf_db.py:342-357): pattern delete +
+    ground-triple insert in one transform."""
+    from kgraphmemory_spark.operators.store import apply_update
+    ins = spark.createDataFrame(
+        [("urn:e9", "urn:prop:name", "gamma", None, None, "urn:g")],
+        "subject string, predicate string, object string, "
+        "obj_datatype string, obj_lang string, graph string")
+    out = apply_update(triples,
+                       delete={"s": "urn:e1", "p": "urn:prop:name"},
+                       insert=ins)
+    assert out.where("subject = 'urn:e1' AND predicate = 'urn:prop:name'") \
+              .count() == 0
+    assert out.where("subject = 'urn:e9'").count() == 1
+    # untouched rows survive; no-op update is identity
+    assert out.count() == triples.count()  # -1 deleted +1 inserted
+    assert apply_update(triples).count() == triples.count()
