@@ -69,6 +69,41 @@ def discovered_alias_table(mentions: DataFrame) -> DataFrame:
     return uni.unionByName(big)
 
 
+def discovered_alias_from_docs(docs: DataFrame) -> DataFrame:
+    """Alias discovery without the per-occurrence mention fan-out.
+
+    Produces exactly ``discovered_alias_table(extract_mentions(docs))``:
+    the unigram vocabulary is the distinct token set, so dedupe *inside*
+    each document first (``array_distinct`` — map-side, inside the array,
+    no row growth) and explode only per-document vocabularies.  On natural
+    text that is ~K× fewer exploded rows (K = mean within-doc token
+    repetition) and no (url, pos, kind) payload columns, before the same
+    map-side-combine distinct.  The bigram arm of the alias table is the
+    fixed phrase table and never needed the corpus at all.
+
+    At 10^12 docs this converts the heaviest discovery shuffle from
+    O(total tokens) rows to O(Σ per-doc vocab) rows.
+    """
+    uni = (
+        docs.where(F.length("text") > 0)
+        .select(F.explode(F.array_distinct(F.split("text", " ")))
+                .alias("surface"))
+        .distinct()
+        .select(
+            "surface",
+            F.lit("unigram").alias("kind"),
+            F.concat(F.lit("ent:"), F.col("surface")).alias("entity_id"),
+            F.lit(1.0).alias("prior"),
+        )
+    )
+    spark = docs.sparkSession
+    big = spark.createDataFrame(
+        [(k, "bigram", v, 1.0) for k, v in sorted(BIGRAM_ALIASES.items())],
+        "surface string, kind string, entity_id string, prior double",
+    )
+    return uni.unionByName(big)
+
+
 def rank_candidates(alias_table: DataFrame) -> DataFrame:
     """Best candidate per (surface, kind) — the W2 ranker.
 

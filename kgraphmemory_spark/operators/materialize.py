@@ -60,6 +60,44 @@ def build_entities(linked_canonical: DataFrame) -> DataFrame:
     )
 
 
+def build_entities_preagg(mentions: DataFrame, ranked_alias: DataFrame,
+                          canonical: DataFrame) -> DataFrame:
+    """Same result as ``build_entities(linked_canonical)`` — asserted in
+    tests/test_linking.py — but the per-occurrence mention stream is
+    aggregated down to (surface, kind) BEFORE any join: mention_count,
+    min-surface and has-bigram are all decomposable over surface groups,
+    and entity_id / canonical_id are functions of (surface, kind).  One
+    partial+final hash agg over the token stream (vocabulary-sized
+    output), then vocabulary-sized broadcast joins and a final tiny agg —
+    the broadcast probe runs per distinct surface instead of per mention
+    occurrence (10^12 rows at web scale)."""
+    per_surface = mentions.groupBy("surface", "kind").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    j = (
+        per_surface
+        .join(F.broadcast(ranked_alias.select("surface", "kind", "entity_id")),
+              ["surface", "kind"])
+        .join(F.broadcast(canonical.select("entity_id", "canonical_id")),
+              "entity_id")
+    )
+    return (
+        j.groupBy("canonical_id")
+        .agg(
+            F.min("surface").alias("name"),
+            F.max(F.when(F.col("kind") == "bigram", 1).otherwise(0)).alias("_big"),
+            F.sum("cnt").alias("mention_count"),
+        )
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            "name",
+            F.when(F.col("_big") == 1, F.lit(TYPE_PHRASE))
+            .otherwise(F.lit(TYPE_TOKEN))
+            .alias("entity_type"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
 def build_relations(raw_triples: DataFrame, canonical: DataFrame) -> DataFrame:
     """raw_triples(url,pos,subj_surface,pred,obj_surface) ⋈ canonical map
     (entity_id → canonical_id) twice → relations(subj,pred,obj,weight,ndocs).

@@ -24,10 +24,14 @@ from pyspark.sql import functions as F
 from .io.snapshots import SnapshotCatalog, lineage_by_url
 from .operators.cc import canonical_mapping
 from .operators.extraction import extract_docs, extract_mentions, extract_raw_triples
-from .operators.linking import discovered_alias_table, link_mentions, rank_candidates
+from .operators.linking import (
+    discovered_alias_from_docs,
+    link_mentions,
+    rank_candidates,
+)
 from .operators.materialize import (
     DEFAULT_GRAPH,
-    build_entities,
+    build_entities_preagg,
     build_frames_slots,
     build_provenance,
     build_relations,
@@ -112,10 +116,12 @@ def run_pipeline(
     mentions = stage("mentions", lambda: extract_mentions(docs_clean))
     raw_triples = stage("raw_triples", lambda: extract_raw_triples(docs_clean))
 
-    # alias table: vocabulary-sized (one heavy distinct over mentions) —
-    # committed as its own snapshot / cached, since both linking and
-    # canonicalization read it
-    alias = stage("alias_table", lambda: discovered_alias_table(mentions))
+    # alias table: vocabulary-sized — committed as its own snapshot /
+    # cached, since both linking and canonicalization read it.  Discovered
+    # from per-doc token vocabularies (array_distinct before the explode),
+    # NOT from the 10^2×-wider per-occurrence mention rows; identical
+    # result (linking.discovered_alias_from_docs docstring + test).
+    alias = stage("alias_table", lambda: discovered_alias_from_docs(docs_clean))
 
     def _link():
         return link_mentions(mentions, alias, strategy=link_strategy)
@@ -148,7 +154,12 @@ def run_pipeline(
 
     linked_canonical = _linked_canonical()
 
-    entities = stage("entities", lambda: build_entities(linked_canonical))
+    # entities aggregate the mention stream by (surface, kind) before any
+    # join (decomposable aggs — see build_entities_preagg docstring);
+    # build_entities(linked_canonical) is the reference shape and remains
+    # the oracle in tests
+    entities = stage("entities", lambda: build_entities_preagg(
+        mentions, rank_candidates(alias), canonical))
     relations = stage("relations", lambda: build_relations(raw_triples, canonical))
 
     if cat is None:

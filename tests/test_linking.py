@@ -83,3 +83,56 @@ def test_histogram_buckets(spark, mentions):
     hist = {r.score_bucket: r.n for r in link_score_histogram(linked).collect()}
     assert sum(hist.values()) == linked.count()
     assert set(hist) == {9}  # all exact matches → top bucket
+
+
+def test_alias_from_docs_equals_mention_path(spark, mentions):
+    """discovered_alias_from_docs (per-doc array_distinct before the
+    explode — the pipeline's fast discovery path) must yield exactly the
+    mention-fan-out alias table, including the fixed bigram arm and
+    empty-token edge cases."""
+    from kgraphmemory_spark.operators.linking import discovered_alias_from_docs
+    pages = datagen.generate_pages(spark, 40, seed=23)
+    docs = extract_docs(pages)
+    fast = {tuple(r) for r in discovered_alias_from_docs(docs).collect()}
+    slow = {tuple(r) for r in
+            discovered_alias_table(extract_mentions(docs)).collect()}
+    assert fast == slow
+    # degenerate docs: empty text and repeated-token text
+    deg = spark.createDataFrame(
+        [("u1", None, None, "", "en"), ("u2", None, None, "tok tok tok", "en"),
+         ("u3", None, None, "a  b", "en")],  # double space → empty token
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    ddocs = extract_docs(deg)
+    dfast = {tuple(r) for r in discovered_alias_from_docs(ddocs).collect()}
+    dslow = {tuple(r) for r in
+             discovered_alias_table(extract_mentions(ddocs)).collect()}
+    assert dfast == dslow
+
+
+def test_entities_preagg_equals_reference_shape(spark):
+    """build_entities_preagg (vocab-sized pre-aggregation) must equal
+    build_entities over the per-occurrence linked stream."""
+    from kgraphmemory_spark.operators.cc import canonical_mapping
+    from kgraphmemory_spark.operators.extraction import extract_docs
+    from kgraphmemory_spark.operators.linking import (
+        discovered_alias_from_docs,
+        rank_candidates,
+    )
+    from kgraphmemory_spark.operators.materialize import (
+        build_entities,
+        build_entities_preagg,
+    )
+    from kgraphmemory_spark.pipeline import same_as_edges
+    pages = datagen.generate_pages(spark, 60, seed=31)
+    docs = extract_docs(pages)
+    m = extract_mentions(docs)
+    alias = discovered_alias_from_docs(docs).cache()
+    ranked = rank_candidates(alias)
+    canonical = canonical_mapping(
+        ranked.select("entity_id").distinct(), same_as_edges(spark)).cache()
+    linked = link_mentions(m, alias, strategy="broadcast")
+    lc = linked.join(F.broadcast(canonical), "entity_id")
+    ref = {tuple(r) for r in build_entities(lc).collect()}
+    fast = {tuple(r) for r in
+            build_entities_preagg(m, ranked, canonical).collect()}
+    assert fast == ref and len(fast) > 0
