@@ -112,8 +112,19 @@ def build_relations(raw_triples: DataFrame, canonical: DataFrame) -> DataFrame:
         "canonical_id", "subj")
     obj = canon.withColumnRenamed("entity_id", "_oid").withColumnRenamed(
         "canonical_id", "obj")
-    resolved = (
+    # pre-aggregate the pair stream by (surface-pair, url) BEFORE the
+    # probes: weight sums the per-group counts and ndocs still counts
+    # distinct urls post-resolution, so results are identical — but the
+    # broadcast probes and the wide shuffle run on distinct
+    # (pair, url) rows, not per pair occurrence, and the countDistinct's
+    # internal (keys, url) expansion is already done map-side here
+    per_pair = (
         raw_triples
+        .groupBy("subj_surface", "pred", "obj_surface", "url")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    resolved = (
+        per_pair
         .withColumn("_sid", F.concat(F.lit("ent:"), F.col("subj_surface")))
         .withColumn("_oid", F.concat(F.lit("ent:"), F.col("obj_surface")))
         .join(sub, "_sid")
@@ -122,7 +133,7 @@ def build_relations(raw_triples: DataFrame, canonical: DataFrame) -> DataFrame:
     return (
         resolved.groupBy("subj", "pred", "obj")
         .agg(
-            F.count(F.lit(1)).alias("weight"),
+            F.sum("_cnt").cast("long").alias("weight"),
             F.countDistinct("url").alias("ndocs"),
         )
     )
