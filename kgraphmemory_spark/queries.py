@@ -1130,6 +1130,30 @@ def q_s7(spark, sf):
     return get_triples(kg_tables(spark, sf).triples, p=HAS_NAME)
 
 
+@register("s8_update_analog", f"""
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT predicate FROM ({SQL_TRIPLES_LONG})
+    WHERE predicate != 'http://vital.ai/ontology/vital-core#hasName'
+    UNION ALL
+    SELECT 'urn:prop:inserted' AS predicate
+  )
+  GROUP BY predicate
+""")
+def q_s8(spark, sf):
+    """S8 / SPARQL-UPDATE analog (kgraph_rdf_db.py:342-357): one
+    apply_update = pattern delete (all hasName triples) + ground-triple
+    insert, then a census by predicate over the updated store."""
+    from .operators.store import apply_update
+    from .semantics import HAS_NAME
+    ins = spark.createDataFrame(
+        [("ent:zzz", "urn:prop:inserted", "1", "urn:graph:web")],
+        "subject string, predicate string, object string, graph string")
+    out = apply_update(kg_tables(spark, sf).triples,
+                       delete={"p": HAS_NAME}, insert=ins)
+    return out.groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("s9_nt_roundtrip", SQL_TRIPLES_LONG)
 def q_s9(spark, sf):
     """S9-S13/S19: serialize the triple store to N-Quads lines and parse
