@@ -144,7 +144,7 @@ def _cpu_scaling_probe(lo: int = 4, hi: int = 16,
 
 
 def _scaling_child(cores: int, pages: int, reps: int = 3,
-                   budget_s: int = 900) -> tuple[float, int, list]:
+                   budget_s: int = 1500) -> tuple[float, int, list]:
     """Run the pipeline job in a fresh subprocess at local[cores].
 
     The sandbox host carries bursty EXTERNAL load (loadavg >10 with no
@@ -154,6 +154,11 @@ def _scaling_child(cores: int, pages: int, reps: int = 3,
     least one rep always runs; further reps only while ``budget_s`` of
     measured time remains (bounds the driver's per-round bench on a slow
     host; per-rep loadavg in the JSON shows when a short run was noisy).
+
+    A small UNMEASURED warmup run (5% of the corpus) precedes the reps:
+    the first full run otherwise pays JVM/codegen warmup (~2-3.5× the
+    steady rep observed), which both wastes measurement budget and biases
+    a rep-starved config.
     """
     code = f"""
 import json, time, sys
@@ -164,6 +169,11 @@ from kgraphmemory_spark.pipeline import run_pipeline
 # identical input (fixed 64-way deterministic generation); shuffle width
 # scales with the "cluster" as it would on a real N->4N resize
 spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores})
+warm = generate_pages_distributed(spark, {max(pages // 20, 1000)}, seed=7,
+                                  partitions=16)
+kgw = run_pipeline(spark, warm, link_strategy="salted")
+kgw.relations.count(); kgw.entities.count(); kgw.triples.count()
+spark.catalog.clearCache()
 pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=64)
 pages.cache().count()  # corpus generation excluded from the measured window
 rep_stats = []
