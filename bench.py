@@ -100,6 +100,8 @@ def _headline(spark) -> tuple[dict, dict]:
     run("tpch_q1", lambda: Q.QUERIES["a1_tpch_q1"](spark, SF_DIR).count())
     run("q3_topk", lambda: Q.QUERIES["j3_multiway_topk"](spark, SF_DIR).count())
     run("cosine_topk", lambda: Q.QUERIES["v1_cosine_topk"](spark, SF_DIR).count())
+    run("lsh_ann", lambda: Q.QUERIES["v4_lsh_ann"](spark, SF_DIR).count())
+    run("ivf_ann", lambda: Q.QUERIES["v5_ivf_ann"](spark, SF_DIR).count())
     run("minhash_lsh", lambda: Q.QUERIES["d3_minhash_lsh"](spark, SF_DIR).count())
     run("ngram_jaccard", lambda: Q.QUERIES["d2_ngram_jaccard"](spark, SF_DIR).count())
 
