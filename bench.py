@@ -80,12 +80,15 @@ def _headline(spark) -> tuple[dict, dict]:
 
     # Two reps: rep 1 pays the one-time session costs (UDF worker spinup,
     # codegen JIT, parquet footers) and absorbs this host's bursty external
-    # load; rep 2 is the steady-state cost a long-running job sees per unit
-    # of input.  `kg_pipeline` (and the throughput numbers) use the min;
-    # the cold rep is reported alongside.
+    # load; rep 2 is the warm-JVM cost of a FULL re-run — caches are
+    # dropped in between, otherwise Spark's CacheManager would serve rep 2
+    # from rep 1's cached stage tables and the number would measure cached
+    # scans, not pipeline work.  `kg_pipeline` (and the throughput numbers)
+    # use the min; the cold rep is reported alongside.
     t0 = time.time()
     _pipeline_once()
     cold = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
     t0 = time.time()
     _pipeline_once()
     steady = round(time.time() - t0, 3)
@@ -228,13 +231,14 @@ def main() -> None:
     total = round(time.time() - t0, 3)
     spark.stop()
 
-    # value = sum of the per-query steady times; the raw session wall
-    # (which also contains the deliberately-paid cold pipeline rep) is
-    # reported as wall_total in throughput.
-    extra["wall_total_sec"] = total
+    # value keeps its round-1 meaning — the full headline session wall
+    # (now inclusive of the deliberate second pipeline rep and the ANN
+    # queries); per-query warm times are in `queries`, their sum in
+    # throughput.queries_sum_sec.
+    extra["queries_sum_sec"] = round(sum(times.values()), 3)
     result = {
         "metric": "kg_construction_wall_clock",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": times,
         "sf": SF_LABEL,

@@ -134,6 +134,7 @@ def link_mentions(
     alias_table: DataFrame,
     strategy: str = "broadcast",
     salt: int = DEFAULT_SALT,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """mentions(url,pos,surface,kind) ⋈ alias(surface,kind,entity_id,prior)
     → linked(url, pos, surface, kind, entity_id, link_score), one row per
@@ -145,9 +146,10 @@ def link_mentions(
     ``strategy="auto"`` materializes the ranked alias table once
     (localCheckpoint — it is joined right after, so nothing is wasted),
     counts it, and picks broadcast below ``BROADCAST_MAX_ALIAS_ROWS`` else
-    salted.
+    salted.  Pass ``ranked`` (= rank_candidates(alias_table), e.g. cached
+    by the pipeline) to skip re-ranking here.
     """
-    best = rank_candidates(alias_table)
+    best = ranked if ranked is not None else rank_candidates(alias_table)
     if strategy == "auto":
         best = best.localCheckpoint(eager=True)
         strategy = resolve_strategy(best.count())

@@ -61,23 +61,30 @@ def build_entities(linked_canonical: DataFrame) -> DataFrame:
 
 
 def build_entities_preagg(mentions: DataFrame, ranked_alias: DataFrame,
-                          canonical: DataFrame) -> DataFrame:
+                          canonical: DataFrame,
+                          broadcast_alias: bool = True) -> DataFrame:
     """Same result as ``build_entities(linked_canonical)`` — asserted in
     tests/test_linking.py — but the per-occurrence mention stream is
     aggregated down to (surface, kind) BEFORE any join: mention_count,
     min-surface and has-bigram are all decomposable over surface groups,
     and entity_id / canonical_id are functions of (surface, kind).  One
     partial+final hash agg over the token stream (vocabulary-sized
-    output), then vocabulary-sized broadcast joins and a final tiny agg —
-    the broadcast probe runs per distinct surface instead of per mention
-    occurrence (10^12 rows at web scale)."""
+    output), then vocabulary-sized joins and a final tiny agg — the join
+    probes run per distinct surface instead of per mention occurrence
+    (10^12 rows at web scale).  ``broadcast_alias=False`` (the pipeline
+    passes it when the discovered alias table exceeds the broadcast
+    ceiling, linking.resolve_strategy) leaves the alias/canonical joins
+    to AQE — still vocab-by-vocab shuffles, never per-occurrence."""
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_alias else df
+
     per_surface = mentions.groupBy("surface", "kind").agg(
         F.count(F.lit(1)).alias("cnt"))
     j = (
         per_surface
-        .join(F.broadcast(ranked_alias.select("surface", "kind", "entity_id")),
+        .join(_side(ranked_alias.select("surface", "kind", "entity_id")),
               ["surface", "kind"])
-        .join(F.broadcast(canonical.select("entity_id", "canonical_id")),
+        .join(_side(canonical.select("entity_id", "canonical_id")),
               "entity_id")
     )
     return (
@@ -98,16 +105,20 @@ def build_entities_preagg(mentions: DataFrame, ranked_alias: DataFrame,
     )
 
 
-def build_relations(raw_triples: DataFrame, canonical: DataFrame) -> DataFrame:
+def build_relations(raw_triples: DataFrame, canonical: DataFrame,
+                    broadcast_canonical: bool = True) -> DataFrame:
     """raw_triples(url,pos,subj_surface,pred,obj_surface) ⋈ canonical map
     (entity_id → canonical_id) twice → relations(subj,pred,obj,weight,ndocs).
 
     The canonical map is small relative to the triple stream (vocabulary vs
     corpus) → broadcast both probes; no shuffle until the final agg.
+    ``broadcast_canonical=False`` when the vocabulary exceeds the broadcast
+    ceiling — the probes then shuffle on the pre-aggregated (pair, url)
+    rows, never per pair occurrence.
     """
-    canon = F.broadcast(canonical.select(
-        F.col("entity_id"), F.col("canonical_id")
-    ))
+    canon = canonical.select(F.col("entity_id"), F.col("canonical_id"))
+    if broadcast_canonical:
+        canon = F.broadcast(canon)
     sub = canon.withColumnRenamed("entity_id", "_sid").withColumnRenamed(
         "canonical_id", "subj")
     obj = canon.withColumnRenamed("entity_id", "_oid").withColumnRenamed(

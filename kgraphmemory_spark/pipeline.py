@@ -28,6 +28,7 @@ from .operators.linking import (
     discovered_alias_from_docs,
     link_mentions,
     rank_candidates,
+    resolve_strategy,
 )
 from .operators.materialize import (
     DEFAULT_GRAPH,
@@ -123,8 +124,26 @@ def run_pipeline(
     # result (linking.discovered_alias_from_docs docstring + test).
     alias = stage("alias_table", lambda: discovered_alias_from_docs(docs_clean))
 
+    # rank ONCE (cached in-memory / derived from the alias snapshot) and
+    # resolve the auto strategy ONCE — the decision also governs whether
+    # the vocabulary-sized ranked/canonical tables may be broadcast in the
+    # entity and relation builds (an open-vocabulary web corpus can push
+    # the alias table past the broadcast ceiling; broadcasting it anywhere
+    # would then OOM the driver even though linking itself went salted)
+    ranked = rank_candidates(alias)
+    if cat is None and cache_intermediates:
+        ranked = ranked.cache()
+    strategy = link_strategy
+    if strategy == "auto":
+        if not (cat is None and cache_intermediates):
+            # not cached anywhere → materialize before the cardinality
+            # probe so the three consumers don't re-rank
+            ranked = ranked.localCheckpoint(eager=True)
+        strategy = resolve_strategy(ranked.count())
+    broadcast_vocab = strategy == "broadcast"
+
     def _link():
-        return link_mentions(mentions, alias, strategy=link_strategy)
+        return link_mentions(mentions, alias, strategy=strategy, ranked=ranked)
 
     linked = stage(
         "linked", _link,
@@ -139,15 +158,16 @@ def run_pipeline(
     )
 
     def _canonical():
-        # entity universe from the (tiny) ranked alias table, NOT from a
-        # distinct over per-mention rows
-        ents = rank_candidates(alias).select("entity_id").distinct()
+        # entity universe from the (vocabulary-sized) ranked alias table,
+        # NOT from a distinct over per-mention rows
+        ents = ranked.select("entity_id").distinct()
         return canonical_mapping(ents, same_as_edges(spark))
 
     canonical = stage("canonical_map", _canonical)
 
     def _linked_canonical() -> DataFrame:
-        return linked.join(F.broadcast(canonical), "entity_id").select(
+        canon = F.broadcast(canonical) if broadcast_vocab else canonical
+        return linked.join(canon, "entity_id").select(
             "url", "pos", "surface", "kind", "entity_id", "link_score",
             "canonical_id",
         )
@@ -159,8 +179,9 @@ def run_pipeline(
     # build_entities(linked_canonical) is the reference shape and remains
     # the oracle in tests
     entities = stage("entities", lambda: build_entities_preagg(
-        mentions, rank_candidates(alias), canonical))
-    relations = stage("relations", lambda: build_relations(raw_triples, canonical))
+        mentions, ranked, canonical, broadcast_alias=broadcast_vocab))
+    relations = stage("relations", lambda: build_relations(
+        raw_triples, canonical, broadcast_canonical=broadcast_vocab))
 
     if cat is None:
         frames, slots = build_frames_slots(relations)

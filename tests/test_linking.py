@@ -85,7 +85,7 @@ def test_histogram_buckets(spark, mentions):
     assert set(hist) == {9}  # all exact matches → top bucket
 
 
-def test_alias_from_docs_equals_mention_path(spark, mentions):
+def test_alias_from_docs_equals_mention_path(spark):
     """discovered_alias_from_docs (per-doc array_distinct before the
     explode — the pipeline's fast discovery path) must yield exactly the
     mention-fan-out alias table, including the fixed bigram arm and

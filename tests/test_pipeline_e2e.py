@@ -81,3 +81,21 @@ def test_frame_uris_match_oracle(corpus):
     got = {r.frame_uri for r in kg.frames.collect()}
     want = {f["frame_uri"] for f in oracle.frames}
     assert got == want  # sha-derived ids identical across engines
+
+
+def test_salted_no_broadcast_path_equals_broadcast(spark):
+    """link_strategy='salted' also disables the vocab-table broadcasts in
+    the entity/relation builds (the >5M-alias web-corpus regime); every
+    materialized table must still equal the broadcast-path output."""
+    from kgraphmemory_spark import datagen
+    from kgraphmemory_spark.pipeline import run_pipeline
+    pages = datagen.generate_pages(spark, 50, seed=11)
+    a = run_pipeline(spark, pages, link_strategy="broadcast",
+                     cache_intermediates=False)
+    b = run_pipeline(spark, pages, link_strategy="salted",
+                     cache_intermediates=False)
+    for name in ("entities", "relations", "triples", "provenance"):
+        ra = {tuple(r) for r in getattr(a, name).collect()}
+        rb = {tuple(r) for r in getattr(b, name).collect()}
+        assert ra == rb, name
+        assert len(ra) > 0, name
