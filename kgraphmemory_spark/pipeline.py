@@ -82,8 +82,9 @@ def run_pipeline(
     """``workdir`` set → every stage is an atomic parquet snapshot (the
     scale path: stage outputs are re-read from disk, lineage truncated).
     ``workdir=None`` → one lazy DAG; ``cache_intermediates`` then caches
-    the SMALL stages only (docs_clean — the pandas-UDF product — and the
-    aggregated graph tables).  The wide fan-out stages (mentions,
+    the SMALL stages only (docs_clean — the pandas-UDF product — the
+    ranked alias table, and the aggregated graph tables).  The wide
+    fan-out stages (mentions,
     raw_triples, linked: ~100 rows per doc) are deliberately NOT cached:
     they are cheap map-side derivations of cached docs_clean, and filling
     a columnar cache with 10^2×docs rows costs far more than the 1-2
