@@ -25,6 +25,7 @@ from .io.snapshots import SnapshotCatalog, lineage_by_url
 from .operators.cc import canonical_mapping
 from .operators.extraction import extract_docs, extract_mentions, extract_raw_triples
 from .operators.linking import (
+    BROADCAST_MAX_ALIAS_ROWS,
     discovered_alias_from_docs,
     link_mentions,
     rank_candidates,
@@ -125,23 +126,26 @@ def run_pipeline(
     # result (linking.discovered_alias_from_docs docstring + test).
     alias = stage("alias_table", lambda: discovered_alias_from_docs(docs_clean))
 
-    # rank ONCE (cached in-memory / derived from the alias snapshot) and
-    # resolve the auto strategy ONCE — the decision also governs whether
-    # the vocabulary-sized ranked/canonical tables may be broadcast in the
-    # entity and relation builds (an open-vocabulary web corpus can push
-    # the alias table past the broadcast ceiling; broadcasting it anywhere
-    # would then OOM the driver even though linking itself went salted)
+    # rank ONCE (cached in-memory / localCheckpointed otherwise) and probe
+    # its cardinality ONCE.  The cardinality drives two independent
+    # decisions: the auto link strategy, and whether the vocabulary-sized
+    # ranked/canonical tables may carry broadcast hints in the entity and
+    # relation builds.  The latter must NOT be coupled to the chosen link
+    # strategy: a salted linking run over a small vocabulary still wants
+    # the vocab broadcasts (dropping the hint costs a shuffle write of the
+    # big probe side even when AQE converts the join back to broadcast),
+    # while an open-vocabulary web corpus past the broadcast ceiling must
+    # drop them or the driver OOMs regardless of link strategy.
     ranked = rank_candidates(alias)
     if cat is None and cache_intermediates:
         ranked = ranked.cache()
+    else:
+        ranked = ranked.localCheckpoint(eager=True)
+    n_alias = ranked.count()
+    broadcast_vocab = n_alias <= BROADCAST_MAX_ALIAS_ROWS
     strategy = link_strategy
     if strategy == "auto":
-        if not (cat is None and cache_intermediates):
-            # not cached anywhere → materialize before the cardinality
-            # probe so the three consumers don't re-rank
-            ranked = ranked.localCheckpoint(eager=True)
-        strategy = resolve_strategy(ranked.count())
-    broadcast_vocab = strategy == "broadcast"
+        strategy = resolve_strategy(n_alias)
 
     def _link():
         return link_mentions(mentions, alias, strategy=strategy, ranked=ranked)
