@@ -20,7 +20,8 @@ proxy per driver instruction "N and 4N cores"): the same pipeline job runs
 in TWO fresh subprocesses at local[4] and local[16] over an identical
 deterministic synthetic corpus (--scaling-pages, default 2,000,000 pages
 ≈ 150M raw triples);
-efficiency = (T4 / T16) / 4, min of 3 reps with per-rep host loadavg
+efficiency = (T4 / T16) / 4, min of up to 3 budget-bounded reps per
+config (actual rep counts echoed in the JSON note) with per-rep host loadavg
 recorded.  local[32] is NOT usable for the upper point: the sandbox host
 carries bursty external load (loadavg >10 with no process of ours), so 32
 threads oversubscribe the box and anti-scale; 4→16 leaves headroom.  A
@@ -266,10 +267,15 @@ def main() -> None:
                 eff / cpu["hardware_efficiency"], 3)
             if cpu["hardware_efficiency"] > 0 else None,
             "note": "sandbox proxy for N→4N executors (driver instruction); "
-                    "min of 3 reps per config with per-rep host loadavg; "
+                    f"min of up to 3 budget-bounded reps per config "
+                    f"(ran {len(reps_n)}x local4, {len(reps_4n)}x local16) "
+                    "with per-rep host loadavg; "
                     "4→16 cores because external load oversubscribes "
                     "local[32]; cpu_probe = this box's raw 4→16 "
-                    "multiprocessing ceiling at measurement time",
+                    "multiprocessing ceiling at measurement time"
+                    + ("; efficiency>1 is not real superlinearity — it means "
+                       "external host load contended the small config's best "
+                       "rep (see local4_reps loadavg)" if eff > 1.0 else ""),
         }
 
     print(json.dumps(result))

@@ -85,7 +85,12 @@ def messages_for_interaction(messages: DataFrame,
     (kgraph_chat_bridge.py:235-283).  msg_idx materializes the ORDER BY
     ?timestamp position (ties broken by message_uri — the reference's
     result order is store-dependent on ties; here it is total)."""
-    w = Window.orderBy(F.col("ts"), F.col("message_uri"))
+    # partitioned by interaction_uri: with the equality filter this is the
+    # same total order, but the window never funnels to one partition —
+    # an unfiltered/multi-interaction caller still gets per-thread indexes
+    # at per-thread cost
+    w = Window.partitionBy("interaction_uri").orderBy(
+        F.col("ts"), F.col("message_uri"))
     return (
         messages.where(F.col("interaction_uri") == interaction_uri)
         .withColumn("msg_idx", F.row_number().over(w))
