@@ -21,7 +21,12 @@ NOT supported (documented limitation): ``@reverse``, ``@list`` /
 ``@container`` semantics (arrays are treated as multi-valued, i.e.
 ``@set``), ``@nest``, ``@included``, remote contexts (a string
 ``@context`` raises — fetching URLs from executors is not a thing this
-engine does), and ``@json`` literals.
+engine does), ``@json`` literals, and a ``@graph`` inside a node object
+reached as a *property value* (raises rather than silently dropping its
+triples; graph containers reached through ``parse`` — top level or
+nested under another ``@graph`` — work).  ``@type`` values expand with
+the vocabulary mapping (term → compact IRI → ``@vocab``), never against
+``@base``; a bare ``@type`` word with no term/prefix/``@vocab`` raises.
 
 Scale shape: same as turtle.py — JSON documents are not splittable, so
 parallelism is one task per file via wholetext + Arrow-batched
@@ -87,6 +92,22 @@ class _Ctx:
                              "no term, prefix, or @vocab")
         return iri, defn
 
+    def expand_type(self, name: str) -> str:
+        """Expand an ``@type`` value.  Per JSON-LD expansion, @type uses
+        the *vocabulary* mapping (term → compact IRI → @vocab), NOT the
+        @base fallback that applies to @id-position references — a bare
+        word under ``{"@vocab": V, "@base": B}`` must become V+word, never
+        B+word.  A bare word with no term/prefix/@vocab raises, matching
+        the module's raise-on-unsupported posture."""
+        if name in self.terms:
+            return self._expand_ref(self.terms[name]["@id"])
+        if ":" in name:
+            return self._expand_ref(name)
+        if self.vocab:
+            return self.vocab + name
+        raise ValueError(f"cannot expand @type {name!r}: "
+                         "no term, prefix, or @vocab")
+
 
 class _Parser:
     def __init__(self, default_graph: str | None):
@@ -123,11 +144,21 @@ class _Parser:
         self._node(doc, ctx, graph)
 
     def _node(self, node: dict, ctx: _Ctx, graph: str | None) -> str:
+        # Nested nodes may carry their own @context (re-derived here —
+        # idempotent for the top-level doc, whose context parse() already
+        # applied).  A nested @graph would silently drop its contained
+        # triples if treated as a skipped keyword, so it raises like every
+        # other unsupported keyword (top-level @graph is handled in parse).
+        if "@graph" in node:
+            raise ValueError("nested @graph (graph container inside a node "
+                             "object) is outside the supported subset")
+        if "@context" in node:
+            ctx = _Ctx(node["@context"])
         subj = (ctx._expand_ref(node["@id"]) if "@id" in node
                 else self._blank())
         types = node.get("@type", [])
         for t in types if isinstance(types, list) else [types]:
-            self.rows.append((subj, RDF_TYPE, ctx._expand_ref(t),
+            self.rows.append((subj, RDF_TYPE, ctx.expand_type(t),
                               None, None, graph))
         for key, value in node.items():
             if key in _KEYWORDS:
@@ -147,7 +178,7 @@ class _Parser:
             if "@value" in v:
                 dt = v.get("@type")
                 emit((subj, pred, _lexical(v["@value"]),
-                      ctx._expand_ref(dt) if dt else _implied_dt(v["@value"]),
+                      ctx.expand_type(dt) if dt else _implied_dt(v["@value"]),
                       v.get("@language"), graph))
             elif set(v) == {"@id"}:
                 emit((subj, pred, ctx._expand_ref(v["@id"]),
@@ -167,7 +198,7 @@ class _Parser:
                 emit((subj, pred, ctx._expand_ref(v), None, None, graph))
             else:
                 dt = defn.get("@type")
-                emit((subj, pred, v, ctx._expand_ref(dt) if dt else None,
+                emit((subj, pred, v, ctx.expand_type(dt) if dt else None,
                       None, graph))
         elif v is None:
             pass                             # JSON null drops the value

@@ -168,7 +168,12 @@ def import_rdf(spark, path: str, fmt: str = "ntriples",
     """S9 format-dispatched load (kgraph_rdf_db.py:493-511's RdfFormat
     table).  Line formats take the splittable `spark.read.text` path;
     whole-file formats take the one-task-per-file wholetext path."""
-    fmt = fmt.lower().replace("_", "-")
+    # normalize '/' alongside '_': the reference's format table spells it
+    # 'rdf/xml' (kgraph_rdf_db.py RdfFormat map) — that spelling must work.
+    # Unknown formats still raise (the reference silently defaults to
+    # N-Triples; a wrong-format load that parses to garbage is worse than
+    # an error, so the raise is intentional).
+    fmt = fmt.lower().replace("_", "-").replace("/", "-")
     if fmt in ("ntriples", "n-triples", "nt", "nquads", "n-quads", "nq"):
         return load_ntriples(spark, path, default_graph)
     if fmt in ("turtle", "ttl"):

