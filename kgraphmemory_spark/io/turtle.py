@@ -14,6 +14,10 @@ published Turtle:
 - literals ``"..."`` with ``\\`` escapes (incl. ``\\uXXXX``), optional
   ``^^dt`` (IRI or prefixed) or ``@lang``; numeric shorthand
   (xsd:integer / xsd:decimal) and ``true``/``false`` (xsd:boolean);
+- blank-node property lists ``[ p o ; ... ]`` (fresh anonymous node,
+  usable in subject or object position — a subject plist may stand alone
+  per the grammar) and collections ``( e1 e2 ... )`` desugared to
+  rdf:first/rdf:rest chains (``()`` → rdf:nil); both recurse;
 - TriG graph blocks (kgraph_rdf_db.py:497 RdfFormat.TRIG):
   ``GRAPH <g> { ... }``, bare ``<g> { ... }`` / ``p:g { ... }``, and an
   anonymous ``{ ... }`` default-graph block; the final ``.`` inside a
@@ -25,8 +29,8 @@ same as the N-Triples path (io/rdf.py parse_lines): loading two files
 that both use ``_:b1`` merges those nodes.  Callers that need file-scoped
 bnodes should rewrite labels after load (they carry the ``_:`` prefix).
 
-NOT supported (documented limitation, same as round 1): blank-node
-property lists ``[...]``, collections ``(...)``, triple-quoted strings.
+NOT supported (documented limitation): triple-quoted (multi-line)
+strings.
 
 Scale shape: Turtle is not line-splittable, so parallelism is ONE TASK
 PER FILE — `spark.read.text(wholetext)` distributes the file list and
@@ -46,6 +50,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 # Alternation order matters: blank before pname (else `_:b` reads as a
@@ -65,7 +72,7 @@ _TOKEN = re.compile(
     | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|true\b|false\b|a\b
              |(?i:GRAPH)\b)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
-    | (?P<punct>[;,.{}])
+    | (?P<punct>[;,.{}\[\]()])
     """,
     re.X,
 )
@@ -118,6 +125,16 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.graph = default_graph
+        self._bn = 0
+
+    def _blank(self) -> str:
+        """Fresh document-scoped anonymous blank node (``[...]`` /
+        collection cells) — same ``_:<letter><n>`` convention as the
+        JSON-LD (``_:j``) and RDF/XML (``_:x``) parsers; a document that
+        also *labels* a blank ``_:t<n>`` would merge with it, the standard
+        caveat for label-preserving parsers (module docstring)."""
+        self._bn += 1
+        return f"_:t{self._bn}"
 
     def _resolve_iri(self, tok: str) -> str:
         iri = tok[1:-1]
@@ -131,14 +148,20 @@ class _Parser:
             raise ValueError(f"undeclared prefix {pfx!r}: in {tok!r}")
         return self.prefixes[pfx] + local
 
-    def _term(self, kind: str, tok: str, toks) -> tuple:
-        """→ (value, datatype, lang, is_literal); may consume ^^dt / @lang."""
+    def _term(self, kind: str, tok: str, toks, rows: list[tuple]) -> tuple:
+        """→ (value, datatype, lang, is_literal); may consume ^^dt / @lang.
+        A ``[...]`` property list or ``(...)`` collection term emits its
+        own triples into ``rows`` and yields the head blank node."""
         if kind == "iri":
             return self._resolve_iri(tok), None, None, False
         if kind == "pname":
             return self._resolve_pname(tok), None, None, False
         if kind == "blank":
             return tok, None, None, False
+        if (kind, tok) == ("punct", "["):
+            return self._bnode_plist(toks, rows), None, None, False
+        if (kind, tok) == ("punct", "("):
+            return self._collection(toks, rows), None, None, False
         if kind == "kw" and tok in ("true", "false"):
             return tok, XSD + "boolean", None, True
         if kind == "num":
@@ -160,6 +183,67 @@ class _Parser:
                 return value, None, nt[1:], True
             return value, None, None, True
         raise ValueError(f"unexpected term token {tok!r}")
+
+    def _bnode_plist(self, toks, rows: list[tuple]) -> str:
+        """``[ p1 o1 ; p2 o2 , o3 ]`` (the '[' already consumed) → fresh
+        blank node carrying the listed triples; ``[]`` is an anonymous
+        node with none.  Recursive: objects may themselves be ``[...]`` /
+        ``(...)``."""
+        subj = self._blank()
+        if toks.peek() == ("punct", "]"):
+            toks.next()
+            return subj
+        while True:
+            pk, pt = toks.next()
+            if pk == "kw" and pt == "a":
+                pred = RDF_TYPE
+            else:
+                pred, _, _, plit = self._term(pk, pt, toks, rows)
+                if plit:
+                    raise ValueError(f"literal predicate {pt!r} in [...]")
+            while True:
+                ok, ot = toks.next()
+                obj, dt, lang, _ = self._term(ok, ot, toks, rows)
+                rows.append((subj, pred, obj, dt, lang, self.graph))
+                if toks.peek() == ("punct", ","):
+                    toks.next()
+                    continue
+                break
+            nk, nt = toks.peek()
+            if (nk, nt) == ("punct", ";"):
+                toks.next()
+                if toks.peek() == ("punct", "]"):   # trailing ';'
+                    toks.next()
+                    return subj
+                continue
+            if (nk, nt) == ("punct", "]"):
+                toks.next()
+                return subj
+            raise ValueError(
+                f"expected ';' ',' or ']' in [...] property list, got {nt!r}")
+
+    def _collection(self, toks, rows: list[tuple]) -> str:
+        """``( e1 e2 ... )`` (the '(' already consumed) → rdf:first/rest
+        chain head; ``()`` → rdf:nil.  Elements are full object terms
+        (nested collections / property lists recurse)."""
+        items: list[tuple] = []
+        while True:
+            k, t = toks.peek()
+            if (k, t) == ("punct", ")"):
+                toks.next()
+                break
+            if k is None:
+                raise ValueError("unterminated ( ... ) collection")
+            toks.next()
+            items.append(self._term(k, t, toks, rows)[:3])
+        if not items:
+            return RDF_NIL
+        cells = [self._blank() for _ in items]
+        for i, (cell, (v, dt, lang)) in enumerate(zip(cells, items)):
+            rest = cells[i + 1] if i + 1 < len(cells) else RDF_NIL
+            rows.append((cell, RDF_FIRST, v, dt, lang, self.graph))
+            rows.append((cell, RDF_REST, rest, None, None, self.graph))
+        return cells[0]
 
     def parse(self, text: str) -> list[tuple]:
         toks = _Peekable(_tokens(text))
@@ -242,20 +326,30 @@ class _Parser:
                    in_block: bool = False) -> None:
         if subj is None:
             sk, st = toks.next()
-            subj, _, _, lit = self._term(sk, st, toks)
+            subj, _, _, lit = self._term(sk, st, toks, rows)
             if lit:
                 raise ValueError(f"literal subject {st!r}")
+            # a blankNodePropertyList subject may stand alone:
+            # "[ p o ] ." is a complete statement (Turtle `triples ::=
+            # blankNodePropertyList predicateObjectList?`)
+            if (sk, st) == ("punct", "["):
+                nk, nt = toks.peek()
+                if (nk, nt) == ("punct", "."):
+                    toks.next()
+                    return
+                if in_block and (nk, nt) == ("punct", "}"):
+                    return
         while True:
             pk, pt = toks.next()
             if pk == "kw" and pt == "a":
                 pred = RDF_TYPE
             else:
-                pred, _, _, plit = self._term(pk, pt, toks)
+                pred, _, _, plit = self._term(pk, pt, toks, rows)
                 if plit:
                     raise ValueError(f"literal predicate {pt!r}")
             while True:
                 ok, ot = toks.next()
-                obj, dt, lang, _ = self._term(ok, ot, toks)
+                obj, dt, lang, _ = self._term(ok, ot, toks, rows)
                 rows.append((subj, pred, obj, dt, lang, self.graph))
                 nk, nt = toks.peek()
                 if (nk, nt) == ("punct", ","):

@@ -56,9 +56,6 @@ def test_parse_errors():
     with pytest.raises(ValueError, match="undeclared prefix"):
         parse_turtle_text("foo:x foo:y foo:z .")
     with pytest.raises(ValueError, match="parse error"):
-        # blank-node property lists are outside the supported subset
-        parse_turtle_text("@prefix ex: <http://e/> .\nex:x ex:y [ ex:z 1 ] .")
-    with pytest.raises(ValueError, match="parse error"):
         parse_turtle_text('@prefix ex: <http://e/> . ex:a ex:b "unterminated')
     with pytest.raises(ValueError, match="end of turtle"):
         parse_turtle_text('@prefix ex: <http://e/> . ex:a ex:b ')
@@ -111,3 +108,124 @@ def test_turtle_into_store_ops(spark, tmp_path):
     assert [h.object for h in hits] == ["Alice"]
     # typed literal survives a URI-cascade delete of its lexical twin
     assert t.where(F.col("obj_datatype").isNotNull()).count() == 4
+
+
+# ----------------------- round 3: [...] property lists + (...) collections
+
+from kgraphmemory_spark.io.turtle import RDF_FIRST, RDF_NIL, RDF_REST
+
+
+def _spo(rows):
+    return {(s, p, o) for s, p, o, _, _, _ in rows}
+
+
+def test_bnode_property_list_as_object():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:knows [ a ex:Person ; ex:name \"Bob\" , \"Bobby\" ] .")
+    spo = _spo(rows)
+    inner = [o for s, p, o in spo if p == "http://e/knows"][0]
+    assert inner.startswith("_:")
+    assert (inner, RDF_TYPE, "http://e/Person") in spo
+    names = {o for s, p, o in spo if s == inner and p == "http://e/name"}
+    assert names == {"Bob", "Bobby"}
+    assert len(rows) == 4
+
+
+def test_bnode_property_list_as_subject_standalone():
+    # `[ p o ] .` is a complete statement; `[] p o .` continues normally
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "[ ex:p ex:q ] .\n"
+        "[] ex:r 4 .")
+    assert len(rows) == 2
+    (s1, p1, o1, *_), (s2, p2, o2, dt2, *_) = rows
+    assert s1.startswith("_:") and (p1, o1) == ("http://e/p", "http://e/q")
+    assert s2.startswith("_:") and s2 != s1
+    assert (p2, o2, dt2) == ("http://e/r", "4", XSD + "integer")
+
+
+def test_bnode_property_list_subject_with_predicates():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "[ ex:inner 1 ] ex:outer ex:x .")
+    spo = _spo(rows)
+    subj = [s for s, p, o in spo if p == "http://e/outer"][0]
+    assert (subj, "http://e/inner", "1") in spo
+    assert len(rows) == 2
+
+
+def test_nested_property_lists():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:p [ ex:q [ ex:r \"deep\" ] ; ex:s 1 ] .")
+    spo = _spo(rows)
+    lvl1 = [o for s, p, o in spo if p == "http://e/p"][0]
+    lvl2 = [o for s, p, o in spo if s == lvl1 and p == "http://e/q"][0]
+    assert (lvl2, "http://e/r", "deep") in spo
+    assert (lvl1, "http://e/s", "1") in spo
+    assert len(rows) == 4
+
+
+def test_collection_desugars_to_first_rest_chain():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:list (ex:x \"two\"@en 3) .")
+    spo = _spo(rows)
+    head = [o for s, p, o in spo if p == "http://e/list"][0]
+    # walk the chain
+    chain, node = [], head
+    while node != RDF_NIL:
+        first = [r for r in rows if r[0] == node and r[1] == RDF_FIRST][0]
+        chain.append((first[2], first[3], first[4]))
+        node = [o for s, p, o in spo if s == node and p == RDF_REST][0]
+    assert chain == [("http://e/x", None, None), ("two", None, "en"),
+                     ("3", XSD + "integer", None)]
+    assert len(rows) == 7  # 1 link + 3×(first, rest)
+
+
+def test_empty_collection_is_nil():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> . ex:a ex:list () .")
+    assert rows == [("http://e/a", "http://e/list", RDF_NIL,
+                     None, None, None)]
+
+
+def test_collection_of_property_lists_nested():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:l ([ ex:k 1 ] ()) .")
+    spo = _spo(rows)
+    head = [o for s, p, o in spo if p == "http://e/l"][0]
+    cell1_first = [o for s, p, o in spo if s == head and p == RDF_FIRST][0]
+    assert (cell1_first, "http://e/k", "1") in spo
+    cell2 = [o for s, p, o in spo if s == head and p == RDF_REST][0]
+    assert (cell2, RDF_FIRST, RDF_NIL) in spo
+    assert (cell2, RDF_REST, RDF_NIL) in spo
+
+
+def test_unterminated_forms_raise():
+    import pytest
+    with pytest.raises(ValueError):
+        parse_turtle_text("@prefix ex: <http://e/> . ex:a ex:p [ ex:q 1 .")
+    with pytest.raises(ValueError):
+        parse_turtle_text("@prefix ex: <http://e/> . ex:a ex:p (1 2 .")
+
+
+def test_plists_inside_trig_block_carry_graph():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "GRAPH ex:g { ex:a ex:p [ ex:q (1) ] }", default_graph="urn:d")
+    assert {r[5] for r in rows} == {"http://e/g"}
+    assert len(rows) == 4
+
+
+def test_plist_collection_distributed_matches_oracle(spark, tmp_path):
+    ttl = ("@prefix ex: <http://e/> .\n"
+           "ex:a ex:knows [ a ex:Person ; ex:likes (ex:x ex:y) ] .\n"
+           "[ ex:standalone true ] .\n")
+    (tmp_path / "a.ttl").write_text(ttl)
+    from kgraphmemory_spark.io.rdf import import_rdf
+    df = import_rdf(spark, str(tmp_path), fmt="turtle", default_graph="g")
+    assert ({tuple(r) for r in df.collect()}
+            == set(parse_turtle_text(ttl, "g")))
