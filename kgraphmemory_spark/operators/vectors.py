@@ -98,13 +98,20 @@ def build_typed_vector_records(
 
 
 def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
-                         mappings: dict[str, list[str]] | None = None) -> DataFrame:
+                         mappings: dict[str, list[str]] | None = None,
+                         embed_udf=None) -> DataFrame:
     """objects (wide rows) → vectors(record_id, uri, vector_id, text,
     vector, metadata).
 
     One `explode` of the mapping config per row (the config is a plan-time
     constant — no join), then ONE batched embedding UDF pass.
+
+    ``embed_udf`` swaps the embedding model (default: the deterministic
+    hash embedder).  Any ``vectorize(list[str])`` model plugs in via
+    ``functions.embedding_models.make_embed_udf`` — the reference's
+    pluggable EmbeddingModel seam (kgraph_vector_db.py:18-49).
     """
+    embed_udf = embed_udf if embed_udf is not None else embed_text_udf
     mappings = mappings or ENTITY_VECTOR_MAPPINGS
     uri = F.col(uri_col).cast("string")
     variants = F.array(*[
@@ -133,7 +140,7 @@ def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
     return exploded.select(
         vector_record_id_col(F.col("uri"), F.col("vector_id")).alias("record_id"),
         "uri", "vector_id", "text",
-        embed_text_udf(F.col("text")).alias("vector"),
+        embed_udf(F.col("text")).alias("vector"),
         "metadata",
     )
 
