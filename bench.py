@@ -14,6 +14,12 @@ local[$SPARK_GRAFT_CPUS]:
 - tpch_q1 / q3_topk   — heavy agg + multiway join on lineitem/orders
 - cosine_topk         — exact vector kNN scan
 - minhash_lsh         — near-dup candidate generation over documents
+- cc_distributed_10m  — alternating-star CC forced distributed over a
+                        synthetic ~10M-edge chains+hubs graph (rounds and
+                        closed-form expected component count recorded)
+- salted_link_at_cutover — the linking join at the REAL broadcast→salted
+                        trigger (5.1M-row alias table > cutover, auto
+                        resolves salted; Zipf-headed 2M mention stream)
 
 Scaling evidence (north rule: ≥0.8 efficiency N→4N executors; sandbox
 proxy per driver instruction "N and 4N cores"): the same pipeline job runs
@@ -68,7 +74,7 @@ def _headline(spark) -> tuple[dict, dict]:
         from kgraphmemory_spark.datagen import pages_from_documents
         from kgraphmemory_spark.pipeline import run_pipeline
         kg = run_pipeline(spark, pages_from_documents(docs),
-                          link_strategy="broadcast")
+                          link_strategy="auto")
         # force every materialized table
         n_rel = kg.relations.count()
         n_tr = kg.raw_triples.count()
@@ -117,6 +123,51 @@ def _headline(spark) -> tuple[dict, dict]:
         lambda: D.simhash_signatures(docs, "doc_id", "text").count())
     run("dedup_classes_full",
         lambda: D.minhash_dedup_components(docs, "doc_id", "text").count())
+
+    # -- distributed CC at representative scale: ~10M edges (8.06M chain +
+    #    2M hub-spoke), driver_threshold=0 forces the alternating-star
+    #    loop; closed-form expected component count validates the run ----
+    from kgraphmemory_spark.datagen import (
+        synthetic_alias_and_mentions,
+        synthetic_cc_edges,
+    )
+    from kgraphmemory_spark.operators.cc import connected_components
+
+    cc_stats: dict = {}
+
+    def _cc():
+        edges = synthetic_cc_edges(
+            spark, chain_rows=8_192_000, chain_len=64,
+            star_rows=2_000_000, hubs=4)
+        comp = connected_components(edges, driver_threshold=0,
+                                    stats=cc_stats)
+        return comp.select("component").distinct().count()
+
+    n_comp = run("cc_distributed_10m", _cc)
+    extra["cc_sym_edges"] = cc_stats.get("edges")
+    extra["cc_rounds"] = cc_stats.get("rounds")
+    extra["cc_components"] = n_comp
+    extra["cc_components_expected"] = 8_192_000 // 64 + 4
+
+    # -- salted linking at its ACTUAL trigger point: a 5.1M-row alias
+    #    table is past BROADCAST_MAX_ALIAS_ROWS, so strategy="auto"
+    #    resolves to salted (asserted) — the 100×-scale path measured at
+    #    the cardinality that really selects it, on a Zipf-headed 2M-row
+    #    mention stream --------------------------------------------------
+    from kgraphmemory_spark.operators.linking import (
+        link_mentions,
+        resolve_strategy,
+    )
+
+    def _salted():
+        alias, mentions = synthetic_alias_and_mentions(
+            spark, alias_rows=5_100_000, mention_rows=2_000_000)
+        assert resolve_strategy(5_100_000) == "salted"
+        return link_mentions(mentions, alias, strategy="auto").count()
+
+    linked_rows = run("salted_link_at_cutover", _salted)
+    extra["salted_alias_rows"] = 5_100_000
+    extra["salted_linked_rows"] = linked_rows  # 1:1 ⇒ == 2,000,000
     return times, extra
 
 

@@ -123,6 +123,64 @@ def generate_pages_distributed(spark: SparkSession, n_pages: int,
     return ids.mapInPandas(gen, schema=PAGE_SCHEMA)
 
 
+def synthetic_cc_edges(spark: SparkSession, chain_rows: int,
+                       chain_len: int = 64, star_rows: int = 0,
+                       hubs: int = 4, partitions: int = 32) -> DataFrame:
+    """Synthetic CC workload at any scale, generated fully distributed
+    (spark.range → expressions, nothing on the driver): ``chain_rows``
+    nodes in disjoint chains of ``chain_len`` (the worst case for round
+    count — diameter chain_len), plus ``star_rows`` spokes over ``hubs``
+    hub nodes (the wikipedia-hub skew shape — single keys with millions of
+    neighbors).  Node ids are zero-padded so lexicographic min == numeric
+    min: chain node c_i belongs to component c_{(i//chain_len)*chain_len},
+    spoke s_i to component h_{i % hubs} — closed-form expected output, so
+    a 10M-edge run validates without a 10M-row oracle.  ``chain_rows``
+    should be a multiple of ``chain_len``."""
+    ids = spark.range(0, chain_rows, 1, partitions)
+    edges = (
+        ids.where((F.col("id") + 1) % chain_len != 0)
+        .select(F.format_string("c%012d", F.col("id")).alias("src"),
+                F.format_string("c%012d", F.col("id") + 1).alias("dst"))
+    )
+    if star_rows:
+        spokes = spark.range(0, star_rows, 1, partitions).select(
+            F.format_string("h%03d", F.col("id") % hubs).alias("src"),
+            F.format_string("s%012d", F.col("id")).alias("dst"))
+        edges = edges.unionAll(spokes)
+    return edges
+
+
+def synthetic_alias_and_mentions(
+        spark: SparkSession, alias_rows: int, mention_rows: int,
+        head_keys: int = 64, head_share: int = 3, salt_mod: int = 10,
+        partitions: int = 32) -> tuple[DataFrame, DataFrame]:
+    """Supra-broadcast-threshold linking workload: an open-vocabulary alias
+    table of ``alias_rows`` distinct surfaces (≥ BROADCAST_MAX_ALIAS_ROWS
+    forces the salted strategy through resolve_strategy — the 100×-scale
+    trigger point) and a Zipf-shaped mention stream where ``head_share``
+    in ``salt_mod`` mentions hit one of ``head_keys`` hub surfaces (the
+    skew the salted join exists to spread).  Fully distributed generation;
+    every mention surface exists in the alias table, so the linking join
+    is 1:1 and the expected output row count equals ``mention_rows``."""
+    alias = spark.range(0, alias_rows, 1, partitions).select(
+        F.format_string("w%09d", F.col("id")).alias("surface"),
+        F.lit("unigram").alias("kind"),
+        F.format_string("ent:w%09d", F.col("id")).alias("entity_id"),
+        F.lit(1.0).alias("prior"),
+    )
+    m = spark.range(0, mention_rows, 1, partitions)
+    surface_id = F.when(
+        F.col("id") % salt_mod < head_share, F.col("id") % head_keys
+    ).otherwise(F.col("id") % alias_rows)
+    mentions = m.select(
+        F.format_string("https://example.org/m/%012d", F.col("id")).alias("url"),
+        (F.col("id") % 97).alias("pos"),
+        F.format_string("w%09d", surface_id).alias("surface"),
+        F.lit("unigram").alias("kind"),
+    )
+    return alias, mentions
+
+
 def pages_from_documents(documents: DataFrame) -> DataFrame:
     """Driver testdata ``documents`` → input_hint pages.
 

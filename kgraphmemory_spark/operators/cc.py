@@ -66,6 +66,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """→ DataFrame(node string, component string) for every node that
     appears in ``edges``; component = lexicographic min node id of the CC.
@@ -76,6 +77,11 @@ def connected_components(
     driver, where union-find is O(E α(E)) with zero per-round job latency;
     above it, the alternating-star loop runs fully distributed.  Both paths
     produce the identical min-labelled mapping (tests cross-check them).
+
+    ``stats`` (optional dict) is filled with ``path`` (driver|distributed),
+    ``edges`` (symmetric-closure count) and, on the distributed path,
+    ``rounds`` — the observability hook the O(log n)-round claim is
+    asserted against (tests/test_cc.py, bench.py cc entry).
     """
     # materialize the input once — all_nodes, the symmetric closure and the
     # first checkpoint otherwise each recompute the (possibly expensive)
@@ -98,11 +104,19 @@ def connected_components(
     # a handful of same-as edges must not pay 128-task jobs per round,
     # while a billion-edge graph gets a partition per ~500k edges.
     n_edges = e.count()
+    if stats is not None:
+        stats["edges"] = n_edges
     if n_edges == 0:
+        if stats is not None:
+            stats["path"] = "empty"
         return all_nodes.withColumn("component", F.col("node"))
 
     if n_edges <= driver_threshold:
+        if stats is not None:
+            stats["path"] = "driver"
         return _driver_union_find(e, all_nodes)
+    if stats is not None:
+        stats["path"] = "distributed"
 
     width = max(1, min(int(e.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32")), (n_edges // 500_000) + 1))
@@ -115,7 +129,9 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
     prev = (-1, 0)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # -- large star: for each u, link every neighbor v > u to
         #    m = min(neighborhood ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -150,6 +166,8 @@ def connected_components(
             break
         prev = cur
     spark.conf.set("spark.sql.shuffle.partitions", saved_width)
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # after convergence every edge is (node → component-min); nodes that
     # only appeared in self-loops / singleton inputs map to themselves
@@ -158,6 +176,63 @@ def connected_components(
         all_nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))
     )
+
+
+def merge_components(committed: DataFrame, new_edges: DataFrame,
+                     src: str = "src", dst: str = "dst",
+                     stats: dict | None = None) -> DataFrame:
+    """Delta-CC: fold NEW edges into an existing ``(node, component)``
+    mapping without re-running CC over the full accumulated edge set —
+    the incremental-canonicalization core (streaming finalize must not
+    recompute a 10^12-node component graph because one micro-batch added
+    10^5 edges).
+
+    A committed component is an equivalence class fully represented by its
+    (min) label, so:
+
+    1. project each new edge onto label space — endpoints known to
+       ``committed`` are replaced by their component, unknown endpoints
+       (brand-new nodes) pass through;
+    2. run ``connected_components`` on the projected graph, whose size is
+       O(new edges) — independent of the committed graph;
+    3. compose: relabel committed rows whose component was merged (the
+       relabel map is at most 2×|new edges| rows — broadcast), and union
+       in the brand-new nodes from step 2.
+
+    Labels stay the lexicographic min over the merged class (each
+    committed label is the min of its class, and step 2 takes the min of
+    participating labels), so the output is IDENTICAL to a full recompute
+    over old∪new edges for every node that appears in either (asserted in
+    tests/test_cc.py against the batch path)."""
+    cu = committed.select(F.col("node").alias(src),
+                          F.col("component").alias("_cu"))
+    cv = committed.select(F.col("node").alias(dst),
+                          F.col("component").alias("_cv"))
+    projected = (
+        new_edges
+        .select(F.col(src).cast("string").alias(src),
+                F.col(dst).cast("string").alias(dst))
+        .join(cu, src, "left")
+        .join(cv, dst, "left")
+        .select(F.coalesce("_cu", F.col(src)).alias("src"),
+                F.coalesce("_cv", F.col(dst)).alias("dst"))
+    )
+    delta = connected_components(projected, stats=stats)
+    delta = delta.localCheckpoint(eager=True)  # consumed thrice below
+    # only labels that actually moved need relabeling
+    relabel = (
+        delta.where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("component"),
+                F.col("component").alias("_merged"))
+    )
+    relabeled = (
+        committed.join(F.broadcast(relabel), "component", "left")
+        .select("node",
+                F.coalesce("_merged", F.col("component")).alias("component"))
+    )
+    brand_new = delta.join(
+        committed.select("node"), "node", "left_anti")
+    return relabeled.unionByName(brand_new)
 
 
 def canonical_mapping(entities: DataFrame, same_as: DataFrame,

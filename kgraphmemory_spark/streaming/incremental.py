@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..datagen import PAGE_SCHEMA
 from ..io.snapshots import SnapshotCatalog
-from ..operators.cc import canonical_mapping
+from ..operators.cc import canonical_mapping, merge_components
 from ..operators.extraction import extract_docs, extract_mentions, extract_raw_triples
 from ..operators.linking import discovered_alias_table, link_mentions, rank_candidates
 from ..operators.materialize import (
@@ -91,12 +91,8 @@ def ingest_stream(spark: SparkSession, input_path: str, workdir: str,
     return n_batches["n"]
 
 
-def finalize(spark: SparkSession, workdir: str,
-             link_strategy: str = "broadcast",
-             graph: str = DEFAULT_GRAPH) -> KGTables:
-    """Run the global stages over everything streamed so far.  Replayed
-    micro-batches are collapsed here by natural-key dedup, so the result is
-    identical to the batch pipeline over the same pages."""
+def _accumulated(spark: SparkSession, workdir: str):
+    """Deduped accumulated stage tables (replay-safe natural-key dedup)."""
     docs = (
         spark.read.parquet(_stream_dir(workdir, "docs_clean"))
         .withColumn("_rn", F.row_number().over(
@@ -111,6 +107,16 @@ def finalize(spark: SparkSession, workdir: str,
         spark.read.parquet(_stream_dir(workdir, "raw_triples"))
         .dropDuplicates(["url", "pos"]).drop("_epoch")
     )
+    return docs, mentions, raw_triples
+
+
+def finalize(spark: SparkSession, workdir: str,
+             link_strategy: str = "broadcast",
+             graph: str = DEFAULT_GRAPH) -> KGTables:
+    """Run the global stages over everything streamed so far.  Replayed
+    micro-batches are collapsed here by natural-key dedup, so the result is
+    identical to the batch pipeline over the same pages."""
+    docs, mentions, raw_triples = _accumulated(spark, workdir)
 
     cat = SnapshotCatalog(os.path.join(workdir, "final"))
     alias = cat.stage(spark, "alias_table",
@@ -146,4 +152,108 @@ def finalize(spark: SparkSession, workdir: str,
         linked=linked_canonical, canonical=canonical, entities=entities,
         relations=relations, frames=frames, slots=slots, triples=triples,
         provenance=provenance,
+    )
+
+
+def _generations(workdir: str) -> list[int]:
+    base = os.path.join(workdir, "final_v")
+    out = []
+    parent = os.path.dirname(base)
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith("final_v") and name[len("final_v"):].isdigit():
+                out.append(int(name[len("final_v"):]))
+    return sorted(out)
+
+
+def finalize_incremental(spark: SparkSession, workdir: str,
+                         link_strategy: str = "broadcast",
+                         graph: str = DEFAULT_GRAPH) -> KGTables:
+    """Generation-aware finalize: call it after each ingest pass; each call
+    commits ``final_v<k>`` snapshots.
+
+    The canonicalization stage is DELTA-CC (operators/cc.merge_components):
+    generation k starts from generation k-1's committed ``canonical_map``
+    and folds in only the same-as edges that touch entities NEW since k-1
+    — an edge between two previously-known entities was already live and
+    already folded, so the merged graph is O(new entities' edges), never a
+    CC recompute over the full accumulated entity set.  Isolated new
+    entities map to themselves.  Output is identical to ``finalize`` /
+    the batch pipeline over everything accumulated (tests/test_streaming).
+
+    The downstream rollups (entities/relations/frames/triples) are global
+    aggregations and are recomputed over the accumulated inputs — they are
+    single decomposable hash aggs; the expensive iterative stage is the one
+    made incremental here.  ``stages_resumed`` carries a
+    ``canonical_map:delta`` marker when the delta path ran (observability
+    for tests)."""
+    docs, mentions, raw_triples = _accumulated(spark, workdir)
+    gens = _generations(workdir)
+    gen = (gens[-1] + 1) if gens else 0
+    cat = SnapshotCatalog(os.path.join(workdir, f"final_v{gen}"))
+    markers: list[str] = []
+
+    alias = cat.stage(spark, "alias_table",
+                      lambda: discovered_alias_table(mentions))
+    linked = cat.stage(spark, "linked",
+                       lambda: link_mentions(mentions, alias,
+                                             strategy=link_strategy))
+    ents = rank_candidates(alias).select("entity_id").distinct()
+
+    def _canonical() -> DataFrame:
+        same = same_as_edges(spark)
+        if not gens:
+            return canonical_mapping(ents, same_as=same)
+        prev = SnapshotCatalog(os.path.join(workdir, f"final_v{gens[-1]}"))
+        committed = prev.read(spark, "canonical_map").select(
+            F.col("entity_id").alias("node"),
+            F.col("canonical_id").alias("component"))
+        new_ents = ents.join(
+            committed.select(F.col("node").alias("entity_id")),
+            "entity_id", "left_anti").localCheckpoint(eager=True)
+        # live edges (both endpoints known) touching ≥1 new entity — the
+        # only edges not already folded into the committed map
+        eids = ents.withColumnRenamed("entity_id", "src")
+        live = (
+            same.join(eids, "src", "left_semi")
+            .join(ents.withColumnRenamed("entity_id", "dst"),
+                  "dst", "left_semi")
+        )
+        new_src = new_ents.withColumnRenamed("entity_id", "src")
+        new_dst = new_ents.withColumnRenamed("entity_id", "dst")
+        delta = live.join(new_src, "src", "left_semi").unionByName(
+            live.join(new_dst, "dst", "left_semi")).distinct()
+        merged = merge_components(committed, delta, "src", "dst")
+        markers.append("canonical_map:delta")
+        # isolated new entities (no same-as edge) → themselves
+        out = (
+            ents.join(merged, ents["entity_id"] == merged["node"], "left")
+            .select("entity_id",
+                    F.coalesce("component", "entity_id").alias("canonical_id"))
+        )
+        return out
+
+    canonical = cat.stage(spark, "canonical_map", _canonical)
+    linked_canonical = linked.join(F.broadcast(canonical), "entity_id").select(
+        "url", "pos", "surface", "kind", "entity_id", "link_score",
+        "canonical_id")
+
+    entities = cat.stage(spark, "entities",
+                         lambda: build_entities(linked_canonical))
+    relations = cat.stage(spark, "relations",
+                          lambda: build_relations(raw_triples, canonical))
+    frames, slots = build_frames_slots(relations)
+    frames = cat.stage(spark, "frames", lambda: frames)
+    slots = cat.stage(spark, "slots", lambda: slots)
+    triples = cat.stage(spark, "triples",
+                        lambda: build_triples(entities, frames, graph))
+    provenance = cat.stage(
+        spark, "provenance",
+        lambda: build_provenance(linked_canonical, raw_triples))
+
+    return KGTables(
+        docs_clean=docs, mentions=mentions, raw_triples=raw_triples,
+        linked=linked_canonical, canonical=canonical, entities=entities,
+        relations=relations, frames=frames, slots=slots, triples=triples,
+        provenance=provenance, stages_resumed=markers,
     )

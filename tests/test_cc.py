@@ -75,3 +75,89 @@ def test_canonical_mapping_isolated_nodes(spark):
            for r in canonical_mapping(ents, same).collect()}
     # pair with missing endpoint must NOT fire; isolated maps to self
     assert got == {"ent:a": "ent:a", "ent:b": "ent:a", "ent:z": "ent:z"}
+
+
+def test_distributed_path_at_representative_shape(spark):
+    """The alternating-star loop on the chains+hubs shape (driver_threshold=0
+    forces the distributed path): round count stays O(log diameter), the
+    closed-form expected mapping holds for every node, and the driver
+    union-find path agrees exactly."""
+    from pyspark.sql import functions as F
+
+    from kgraphmemory_spark.datagen import synthetic_cc_edges
+    from kgraphmemory_spark.operators.cc import connected_components as cc
+
+    chain_rows, chain_len, star_rows, hubs = 16384, 64, 4096, 3
+    edges = synthetic_cc_edges(spark, chain_rows, chain_len, star_rows, hubs)
+    stats: dict = {}
+    comp = cc(edges, driver_threshold=0, stats=stats).cache()
+
+    assert stats["path"] == "distributed"
+    # diameter = chain_len; alternating-star halves distances per round
+    assert stats["rounds"] <= 2 * 6 + 3, stats  # 2*log2(64) + slack
+
+    assert comp.select("component").distinct().count() == \
+        chain_rows // chain_len + hubs
+
+    idx = F.substring("node", 2, 12).cast("long")
+    want = (
+        F.when(F.col("node").startswith("c"),
+               F.format_string("c%012d", (idx - idx % chain_len)))
+        .when(F.col("node").startswith("s"),
+              F.format_string("h%03d", idx % hubs))
+        .otherwise(F.col("node"))  # hubs are their own (min) label
+    )
+    assert comp.where(F.col("component") != want).count() == 0
+
+    # exact agreement with the driver union-find path on the same graph
+    drv = cc(edges).withColumnRenamed("component", "component_drv")
+    assert stats["path"] == "distributed"
+    joined = comp.join(drv, "node", "full")
+    assert joined.where(
+        ~F.col("component").eqNullSafe(F.col("component_drv"))).count() == 0
+    comp.unpersist()
+
+
+def test_merge_components_delta_equals_full_recompute(spark):
+    """Delta-CC over 3 edge batches == batch CC over the union at every
+    generation — including cross-batch merges of previously separate
+    components and a new node that becomes the (lexicographic) min label."""
+    from kgraphmemory_spark.operators.cc import (
+        connected_components as cc,
+        merge_components,
+    )
+
+    batches = [
+        [("b", "c"), ("x", "y"), ("m", "m2")],      # three components
+        [("c", "x"), ("q", "r")],                   # merge b-c with x-y
+        [("a", "b"), ("m2", "q"), ("z", "z2")],     # new min 'a'; chain m→q
+    ]
+
+    def df(edges):
+        return spark.createDataFrame(edges, "src string, dst string")
+
+    committed = cc(df(batches[0]))
+    seen = list(batches[0])
+    for delta in batches[1:]:
+        committed = merge_components(committed, df(delta))
+        seen += delta
+        want = {(r.node, r.component) for r in cc(df(seen)).collect()}
+        got = {(r.node, r.component) for r in committed.collect()}
+        assert got == want, (sorted(got), sorted(want))
+    final = {r.node: r.component for r in committed.collect()}
+    assert final["y"] == "a"        # cross-generation merge to the new min
+    assert final["r"] == "m"        # m-m2-q-r chain built across batches
+    assert final["z2"] == "z"       # fresh isolated pair
+
+
+def test_merge_components_empty_delta_is_identity(spark):
+    from kgraphmemory_spark.operators.cc import (
+        connected_components as cc,
+        merge_components,
+    )
+    committed = cc(spark.createDataFrame(
+        [("a", "b")], "src string, dst string"))
+    empty = spark.createDataFrame([], "src string, dst string")
+    got = {(r.node, r.component)
+           for r in merge_components(committed, empty).collect()}
+    assert got == {("a", "a"), ("b", "a")}

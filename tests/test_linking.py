@@ -136,3 +136,37 @@ def test_entities_preagg_equals_reference_shape(spark):
     fast = {tuple(r) for r in
             build_entities_preagg(m, ranked, canonical).collect()}
     assert fast == ref and len(fast) > 0
+
+
+def test_auto_cutover_picks_salted_above_threshold(spark):
+    """resolve_strategy flips to salted past the broadcast ceiling, and the
+    salted join over a supra-threshold synthetic alias table (Zipf-headed
+    mention stream) emits exactly one row per mention, identical to the
+    broadcast plan's rows."""
+    from pyspark.sql import functions as F
+
+    from kgraphmemory_spark.datagen import synthetic_alias_and_mentions
+    from kgraphmemory_spark.operators.linking import (
+        BROADCAST_MAX_ALIAS_ROWS,
+        link_mentions,
+        resolve_strategy,
+    )
+
+    assert resolve_strategy(BROADCAST_MAX_ALIAS_ROWS) == "broadcast"
+    assert resolve_strategy(BROADCAST_MAX_ALIAS_ROWS + 1) == "salted"
+    # scaled-down trigger point, same code path
+    assert resolve_strategy(50_001, broadcast_max_rows=50_000) == "salted"
+
+    alias, mentions = synthetic_alias_and_mentions(
+        spark, alias_rows=50_000, mention_rows=20_000, partitions=8)
+    salted = link_mentions(mentions, alias, strategy="salted")
+    assert salted.count() == 20_000  # 1:1 — no dup, no drop, head keys incl.
+    bcast = link_mentions(mentions, alias, strategy="broadcast")
+    assert salted.exceptAll(bcast).count() == 0
+    assert bcast.exceptAll(salted).count() == 0
+    # the head keys really are skewed (the shape salting exists for)
+    top = (mentions.groupBy("surface").count()
+           .orderBy(F.desc("count")).first())
+    # hub keys draw ~(head_share/salt_mod)·mentions/head_keys ≈ 94 rows
+    # each; a uniform surface over 50k aliases draws ≤ 1 — skew is real
+    assert top["count"] > 50

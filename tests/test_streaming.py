@@ -88,3 +88,36 @@ def test_incremental_new_files(spark, streamed):
     assert n2 >= 1
     docs = spark.read.parquet(_stream_dir(workdir, "docs_clean"))
     assert docs.select("url").distinct().count() == 70
+
+
+def test_incremental_finalize_equals_batch_over_three_batches(
+        spark, tmp_path):
+    """finalize_incremental after EACH micro-batch: generation k's
+    canonical map is generation k-1's merged via delta-CC (marker
+    asserted), and the final tables equal the batch pipeline over all
+    pages accumulated so far — at every generation."""
+    from kgraphmemory_spark.streaming.incremental import finalize_incremental
+
+    input_dir = str(tmp_path / "pages_in")
+    workdir = str(tmp_path / "work")
+    rows = datagen.generate_pages_rows(45, seed=11)
+
+    seen = []
+    for k in range(3):
+        chunk = rows[k * 15:(k + 1) * 15]
+        seen += chunk
+        spark.createDataFrame(chunk, schema=datagen.PAGE_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(input_dir)
+        assert ingest_stream(spark, input_dir, workdir,
+                             max_files_per_trigger=1) >= 1
+        kg_inc = finalize_incremental(spark, workdir)
+        if k == 0:
+            assert kg_inc.stages_resumed == []
+        else:
+            assert "canonical_map:delta" in kg_inc.stages_resumed
+        kg_batch = run_pipeline(
+            spark, spark.createDataFrame(seen, schema=datagen.PAGE_SCHEMA))
+        for name in ("relations", "entities", "triples"):
+            s = {tuple(r) for r in getattr(kg_inc, name).collect()}
+            b = {tuple(r) for r in getattr(kg_batch, name).collect()}
+            assert s == b, (k, name)
