@@ -17,8 +17,12 @@ Supported subset — expanded and simply-compacted documents:
   has an ``@id`` the contained triples land in that named graph,
   otherwise in ``default_graph``.
 
-NOT supported (documented limitation): ``@reverse``, ``@list`` /
-``@container`` semantics (arrays are treated as multi-valued, i.e.
+``@list`` value objects and ``"@container": "@list"``-coerced terms
+desugar to rdf:first/rdf:rest chains (``[]`` → rdf:nil), same as the
+Turtle parser's collections; nested lists recurse.
+
+NOT supported (documented limitation): ``@reverse``, non-@list
+``@container`` semantics (plain arrays are multi-valued, i.e.
 ``@set``), ``@nest``, ``@included``, remote contexts (a string
 ``@context`` raises — fetching URLs from executors is not a thing this
 engine does), ``@json`` literals, and a ``@graph`` inside a node object
@@ -40,6 +44,9 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 _KEYWORDS = {"@id", "@type", "@value", "@language", "@context", "@graph",
@@ -166,15 +173,42 @@ class _Parser:
             if key.startswith("@"):
                 raise ValueError(f"unsupported JSON-LD keyword {key!r}")
             pred, defn = ctx.expand_prop(key)
+            if defn.get("@container") == "@list" and isinstance(value, list):
+                # list-coerced term: the ARRAY is ordered — one rdf list
+                head = self._list_chain(value, defn, ctx, graph)
+                self.rows.append((subj, pred, head, None, None, graph))
+                continue
             values = value if isinstance(value, list) else [value]
             for v in values:
                 self._value(subj, pred, defn, v, ctx, graph)
         return subj
 
+    def _list_chain(self, items: list, defn: dict, ctx: _Ctx,
+                    graph: str | None) -> str:
+        """``@list`` → rdf:first/rdf:rest chain (same desugaring as the
+        Turtle parser's ``(...)`` collections); ``[]`` → rdf:nil.
+        Elements recurse through ``_value`` so nested nodes / typed values
+        / nested lists all work."""
+        if not items:
+            return RDF_NIL
+        cells = [self._blank() for _ in items]
+        for i, (cell, item) in enumerate(zip(cells, items)):
+            rest = cells[i + 1] if i + 1 < len(cells) else RDF_NIL
+            self._value(cell, RDF_FIRST, defn, item, ctx, graph)
+            self.rows.append((cell, RDF_REST, rest, None, None, graph))
+        return cells[0]
+
     def _value(self, subj: str, pred: str, defn: dict, v,
                ctx: _Ctx, graph: str | None) -> None:
         emit = self.rows.append
         if isinstance(v, dict):
+            if "@list" in v:
+                if set(v) - {"@list"}:
+                    raise ValueError("a @list object may not carry other "
+                                     "keys in the supported subset")
+                head = self._list_chain(v["@list"], defn, ctx, graph)
+                emit((subj, pred, head, None, None, graph))
+                return
             if "@value" in v:
                 dt = v.get("@type")
                 emit((subj, pred, _lexical(v["@value"]),

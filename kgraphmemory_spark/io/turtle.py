@@ -11,9 +11,11 @@ published Turtle:
   node labels ``_:b``;
 - ``a`` as ``rdf:type``;
 - predicate lists with ``;`` and object lists with ``,``;
-- literals ``"..."`` with ``\\`` escapes (incl. ``\\uXXXX``), optional
-  ``^^dt`` (IRI or prefixed) or ``@lang``; numeric shorthand
-  (xsd:integer / xsd:decimal) and ``true``/``false`` (xsd:boolean);
+- literals in all four quote forms — ``"..."``, ``'...'``, and the
+  multi-line ``\"\"\"...\"\"\"`` / ``'''...'''`` long forms — with ``\\``
+  escapes (incl. ``\\uXXXX``), optional ``^^dt`` (IRI or prefixed) or
+  ``@lang``; numeric shorthand (xsd:integer / xsd:decimal) and
+  ``true``/``false`` (xsd:boolean);
 - blank-node property lists ``[ p o ; ... ]`` (fresh anonymous node,
   usable in subject or object position — a subject plist may stand alone
   per the grammar) and collections ``( e1 e2 ... )`` desugared to
@@ -29,8 +31,8 @@ same as the N-Triples path (io/rdf.py parse_lines): loading two files
 that both use ``_:b1`` merges those nodes.  Callers that need file-scoped
 bnodes should rewrite labels after load (they carry the ``_:`` prefix).
 
-NOT supported (documented limitation): triple-quoted (multi-line)
-strings.
+NOT supported (documented limitation): floating-point exponent
+shorthand (``1e3`` — write ``"1e3"^^xsd:double``).
 
 Scale shape: Turtle is not line-splittable, so parallelism is ONE TASK
 PER FILE — `spark.read.text(wholetext)` distributes the file list and
@@ -64,7 +66,10 @@ _TOKEN = re.compile(
       (?P<ws>\s+)
     | (?P<comment>\#[^\n]*)
     | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<literal3>\"\"\"(?:(?:\"|\"\")?(?:[^"\\]|\\.))*\"\"\")
     | (?P<literal>"(?:[^"\\]|\\.)*")
+    | (?P<sliteral3>'''(?:(?:'|'')?(?:[^'\\]|\\.))*''')
+    | (?P<sliteral>'(?:[^'\\]|\\.)*')
     | (?P<dtmark>\^\^)
     | (?P<blank>_:[\w\-]+(?:\.[\w\-]+)*)
     | (?P<num>[+-]?(?:\d+\.\d+|\d+))
@@ -167,8 +172,9 @@ class _Parser:
         if kind == "num":
             dt = XSD + ("decimal" if "." in tok else "integer")
             return tok, dt, None, True
-        if kind == "literal":
-            value = _unescape(tok[1:-1])
+        if kind in ("literal", "literal3", "sliteral", "sliteral3"):
+            q = 3 if kind.endswith("3") else 1
+            value = _unescape(tok[q:-q])
             nk, nt = toks.peek()
             if nk == "dtmark":
                 toks.next()

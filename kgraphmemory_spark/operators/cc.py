@@ -66,6 +66,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
+    driver_max_bytes: int = 256 << 20,
     stats: dict | None = None,
 ) -> DataFrame:
     """→ DataFrame(node string, component string) for every node that
@@ -78,10 +79,18 @@ def connected_components(
     above it, the alternating-star loop runs fully distributed.  Both paths
     produce the identical min-labelled mapping (tests cross-check them).
 
+    The driver cutover is row- AND bytes-aware: labels are arbitrary URI
+    strings, so a row cap alone could collect multi-GB onto the driver
+    when labels are long — the same count job also sums label bytes and
+    the driver path additionally requires ≤ ``driver_max_bytes`` (default
+    256 MB of raw label text, well under typical driver headroom after
+    Python-object overhead).
+
     ``stats`` (optional dict) is filled with ``path`` (driver|distributed),
-    ``edges`` (symmetric-closure count) and, on the distributed path,
-    ``rounds`` — the observability hook the O(log n)-round claim is
-    asserted against (tests/test_cc.py, bench.py cc entry).
+    ``edges`` (symmetric-closure count), ``label_bytes`` and, on the
+    distributed path, ``rounds`` — the observability hook the
+    O(log n)-round claim is asserted against (tests/test_cc.py, bench.py
+    cc entry).
     """
     # materialize the input once — all_nodes, the symmetric closure and the
     # first checkpoint otherwise each recompute the (possibly expensive)
@@ -103,15 +112,21 @@ def connected_components(
     # size the iteration width to the graph, not the session default —
     # a handful of same-as edges must not pay 128-task jobs per round,
     # while a billion-edge graph gets a partition per ~500k edges.
-    n_edges = e.count()
+    size_row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("u") + F.length("v")), F.lit(0))
+        .alias("b"),
+    ).collect()[0]
+    n_edges, label_bytes = int(size_row["n"]), int(size_row["b"])
     if stats is not None:
         stats["edges"] = n_edges
+        stats["label_bytes"] = label_bytes
     if n_edges == 0:
         if stats is not None:
             stats["path"] = "empty"
         return all_nodes.withColumn("component", F.col("node"))
 
-    if n_edges <= driver_threshold:
+    if n_edges <= driver_threshold and label_bytes <= driver_max_bytes:
         if stats is not None:
             stats["path"] = "driver"
         return _driver_union_find(e, all_nodes)

@@ -161,3 +161,22 @@ def test_merge_components_empty_delta_is_identity(spark):
     got = {(r.node, r.component)
            for r in merge_components(committed, empty).collect()}
     assert got == {("a", "a"), ("b", "a")}
+
+
+def test_driver_cutover_is_bytes_aware(spark):
+    """A small edge COUNT with huge labels must not collect to the driver:
+    the cutover also caps total label bytes."""
+    from kgraphmemory_spark.operators.cc import connected_components as cc
+    fat = "u" * 4000
+    edges = spark.createDataFrame(
+        [(fat + "a", fat + "b"), (fat + "b", fat + "c")],
+        "src string, dst string")
+    stats: dict = {}
+    got = {r.node[-1]: r.component[-1]
+           for r in cc(edges, driver_max_bytes=1000, stats=stats).collect()}
+    assert stats["path"] == "distributed"
+    assert stats["label_bytes"] > 1000
+    assert got == {"a": "a", "b": "a", "c": "a"}
+    stats2: dict = {}
+    cc(edges, stats=stats2).collect()
+    assert stats2["path"] == "driver"  # default cap keeps small graphs fast

@@ -294,3 +294,45 @@ def test_rdfxml_xml_base_raises_documented_unsupported():
            '<ex:p>v</ex:p></rdf:Description></rdf:RDF>')
     with pytest.raises(ValueError, match="xml:base"):
         parse_rdfxml_text(doc)
+
+
+# ------------------------------------------------- round 3: JSON-LD @list
+
+def test_jsonld_list_value_object():
+    from kgraphmemory_spark.io.jsonld import RDF_FIRST, RDF_NIL, RDF_REST
+    doc = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
+           '"ex:l": {"@list": ["one", 2, {"@id": "ex:b"}]}}')
+    rows = parse_jsonld_text(doc, "urn:d")
+    spo = {(s, p): (o, dt) for s, p, o, dt, lang, g in rows}
+    head = spo[(EX + "a", EX + "l")][0]
+    chain, node = [], head
+    while node != RDF_NIL:
+        chain.append(spo[(node, RDF_FIRST)])
+        node = spo[(node, RDF_REST)][0]
+    assert chain == [("one", None), ("2", XSD + "integer"),
+                     (EX + "b", None)]
+    assert all(r[5] == "urn:d" for r in rows)
+
+
+def test_jsonld_empty_list_is_nil_and_container_list():
+    from kgraphmemory_spark.io.jsonld import RDF_FIRST, RDF_NIL, RDF_REST
+    doc = ('{"@context": {"ex": "http://example.org/", '
+           '"steps": {"@id": "http://example.org/steps", '
+           '"@container": "@list"}}, '
+           '"@id": "ex:a", "ex:empty": {"@list": []}, '
+           '"steps": ["s1", "s2"]}')
+    rows = parse_jsonld_text(doc)
+    spo = {(s, p): o for s, p, o, dt, lang, g in rows}
+    assert spo[(EX + "a", EX + "empty")] == RDF_NIL
+    head = spo[(EX + "a", EX + "steps")]
+    assert spo[(head, RDF_FIRST)] == "s1"
+    second = spo[(head, RDF_REST)]
+    assert spo[(second, RDF_FIRST)] == "s2"
+    assert spo[(second, RDF_REST)] == RDF_NIL
+
+
+def test_jsonld_list_with_extra_keys_raises():
+    import pytest as _pt
+    with _pt.raises(ValueError, match="@list"):
+        parse_jsonld_text('{"@id": "http://e/a", '
+                          '"http://e/p": {"@list": [], "@id": "http://e/x"}}')

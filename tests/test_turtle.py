@@ -229,3 +229,30 @@ def test_plist_collection_distributed_matches_oracle(spark, tmp_path):
     df = import_rdf(spark, str(tmp_path), fmt="turtle", default_graph="g")
     assert ({tuple(r) for r in df.collect()}
             == set(parse_turtle_text(ttl, "g")))
+
+
+def test_long_and_single_quoted_literals():
+    ttl = '''@prefix ex: <http://e/> .
+ex:a ex:p """multi
+line with "quotes" and ""pairs"" inside"""@en ;
+     ex:q 'single' ;
+     ex:r \'\'\'long
+single with 'quote' end\'\'\'^^ex:dt ;
+     ex:s "plain" .
+'''
+    rows = parse_turtle_text(ttl)
+    d = {p: (o, dt, lang) for s, p, o, dt, lang, g in rows}
+    assert d["http://e/p"] == (
+        'multi\nline with "quotes" and ""pairs"" inside', None, "en")
+    assert d["http://e/q"] == ("single", None, None)
+    assert d["http://e/r"] == ("long\nsingle with 'quote' end",
+                               "http://e/dt", None)
+    assert d["http://e/s"] == ("plain", None, None)
+
+
+def test_long_literal_in_collection_and_plist():
+    rows = parse_turtle_text(
+        '@prefix ex: <http://e/> . ex:a ex:l ("""x y""" [ ex:k \'v\' ]) .')
+    objs = {(o, dt, lang) for s, p, o, dt, lang, g in rows}
+    assert ("x y", None, None) in objs
+    assert ("v", None, None) in objs
