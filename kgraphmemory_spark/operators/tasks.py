@@ -1,6 +1,7 @@
-"""Typed task / tool facades — the reference's KGTask and KGTool object
-families (kgraph_task_bridge.py, kgraph_tool_bridge.py) re-expressed as
-typed tables + set-oriented rollups.
+"""Typed task / tool / document facades — the reference's KGTask, KGTool
+and KGDocument object families (kgraph_task_bridge.py,
+kgraph_tool_bridge.py, kgraph_document_bridge.py) re-expressed as typed
+tables + set-oriented rollups.
 
 Reference semantics mirrored:
 - KGTask objects carry ``hasKGTaskStatus`` ∈ {pending, in_progress,
@@ -158,4 +159,35 @@ def interaction_tool_summary(requests: DataFrame) -> DataFrame:
             F.sum(F.when(~F.col("status").isin("pending", "failed"), 1)
                   .otherwise(0)).cast("long").alias("n_with_results"),
         )
+    )
+
+
+def build_documents(documents: DataFrame) -> DataFrame:
+    """documents → typed KGDocument rows (doc_uri, interaction_uri,
+    doc_type, content_length): the document-bridge object shape
+    (kgraph_document_bridge.py: KGDocument with hasKGDocumentContent),
+    lifted from the synthetic corpus — one document per row, linked to
+    its source interaction, typed by language."""
+    return documents.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string"))
+        .alias("doc_uri"),
+        F.concat(F.lit("urn:interaction:"), F.col("source"))
+        .alias("interaction_uri"),
+        F.col("lang").alias("doc_type"),
+        F.col("n_chars").cast("long").alias("content_length"),
+    )
+
+
+def interaction_document_summary(docs: DataFrame) -> DataFrame:
+    """Per-(interaction, type) document rollup
+    (kgraph_document_bridge.py:247-281 ``get_interaction_document_summary``
+    builds total count, by-type counts, and total content length by
+    probing each document's details in a loop; set-oriented that is one
+    grouped aggregation for every interaction at once).  Per-interaction
+    totals are the downstream re-aggregation of these rows."""
+    return (
+        docs.groupBy("interaction_uri", "doc_type")
+        .agg(F.count(F.lit(1)).alias("n_documents"),
+             F.sum("content_length").cast("long")
+             .alias("total_content_length"))
     )

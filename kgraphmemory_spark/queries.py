@@ -1846,6 +1846,23 @@ def q_tool1(spark, sf):
     return interaction_tool_summary(reqs)
 
 
+@register("doc1_document_summary", """
+  SELECT 'urn:interaction:' || source AS interaction_uri,
+         lang AS doc_type,
+         CAST(count(*) AS BIGINT) AS n_documents,
+         CAST(sum(n_chars) AS BIGINT) AS total_content_length
+  FROM documents GROUP BY source, lang
+""")
+def q_doc1(spark, sf):
+    """KGDocument facade: per-(interaction, type) document rollup in one
+    grouped aggregation (kgraph_document_bridge.py:247-281
+    get_interaction_document_summary — the reference probes each
+    document's details in a loop)."""
+    from .operators.tasks import build_documents, interaction_document_summary
+    return interaction_document_summary(
+        build_documents(load(spark, sf, "documents")))
+
+
 # ===================== salted linking through the gate =====================
 
 @register("j11_salted_linking", f"""

@@ -91,3 +91,23 @@ def test_lookup_join_is_broadcast(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert j.count() == 2
+
+
+def test_document_summary_rollup(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "web", 100), (2, "t", "en", "web", 50),
+         (3, "t", "fr", "web", 7), (4, "t", "en", "wiki", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    from kgraphmemory_spark.operators.tasks import (
+        build_documents,
+        interaction_document_summary,
+    )
+    rows = {(r.interaction_uri, r.doc_type):
+            (r.n_documents, r.total_content_length)
+            for r in interaction_document_summary(
+                build_documents(docs)).collect()}
+    assert rows == {
+        ("urn:interaction:web", "en"): (2, 150),
+        ("urn:interaction:web", "fr"): (1, 7),
+        ("urn:interaction:wiki", "en"): (1, 9),
+    }
