@@ -115,6 +115,16 @@ def _headline(spark) -> tuple[dict, dict]:
     run("minhash_lsh", lambda: Q.QUERIES["d3_minhash_lsh"](spark, SF_DIR).count())
     run("ngram_jaccard", lambda: Q.QUERIES["d2_ngram_jaccard"](spark, SF_DIR).count())
 
+    # -- whole-document serialization (io/serialize.py): emit the full
+    #    long-triples table as Turtle subject blocks — two hash aggs +
+    #    string algebra, no Python rows, so this should track scan speed
+    from kgraphmemory_spark.io.serialize import serialize_rdf
+
+    triples_long = Q.QUERIES["kg_triples_long"](spark, SF_DIR)
+    n_ser = run("serialize_turtle_full",
+                lambda: serialize_rdf(triples_long, "turtle").count())
+    extra["serialized_turtle_blocks"] = n_ser
+
     # -- dedup fast path over the FULL corpus (xxhash64, explode+hash-agg;
     #    the production shape — d3/d4 above are the bounded oracle-gated
     #    md5 variants) ---------------------------------------------------

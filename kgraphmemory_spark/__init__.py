@@ -20,8 +20,10 @@ designed for 100 TB-scale corpora:
                     JVM-side column helpers (cosine, text stats)
 - ``io``          — snapshot catalog (parquet + manifest; Iceberg-shaped),
                     N-Triples/N-Quads distributed parser + serializer,
-                    Turtle-subset whole-file parser, bucket-partitioned
-                    graph-table sink (entity-keyed, pruned point lookups)
+                    whole-file parsers AND whole-document emitters for
+                    Turtle/TriG, JSON-LD and RDF/XML (serialize.py, all
+                    JVM-side), bucket-partitioned graph-table sink
+                    (entity-keyed, pruned point lookups)
 - ``streaming``   — Structured Streaming incremental ingest (foreachBatch)
 - ``queries``     — driver-facing registry (queries() / oracle_sql())
 """

@@ -21,14 +21,20 @@ Supported subset — expanded and simply-compacted documents:
 desugar to rdf:first/rdf:rest chains (``[]`` → rdf:nil), same as the
 Turtle parser's collections; nested lists recurse.
 
-NOT supported (documented limitation): ``@reverse``, non-@list
-``@container`` semantics (plain arrays are multi-valued, i.e.
+``@reverse`` is supported in both forms — the node-object keyword
+(``"@reverse": {prop: refs}``) and reverse terms (``{"term":
+{"@reverse": iri}}``) — emitting the flipped ``(ref, prop, node)``
+triple; values must be node references (a literal there raises, per the
+JSON-LD spec).  Graph objects nested inside node objects work too: a
+node carrying ``@graph`` names a graph (its ``@id``, or a fresh blank
+node when absent) holding the contained triples, while the holder's own
+properties stay in the enclosing graph.
+
+NOT supported (documented limitation): non-@list ``@container``
+semantics beyond the default multi-valued arrays (which is exactly
 ``@set``), ``@nest``, ``@included``, remote contexts (a string
 ``@context`` raises — fetching URLs from executors is not a thing this
-engine does), ``@json`` literals, and a ``@graph`` inside a node object
-reached as a *property value* (raises rather than silently dropping its
-triples; graph containers reached through ``parse`` — top level or
-nested under another ``@graph`` — work).  ``@type`` values expand with
+engine does), and ``@json`` literals.  ``@type`` values expand with
 the vocabulary mapping (term → compact IRI → ``@vocab``), never against
 ``@base``; a bare ``@type`` word with no term/prefix/``@vocab`` raises.
 
@@ -67,14 +73,15 @@ class _Ctx:
                 continue
             if isinstance(defn, str):
                 self.terms[term] = {"@id": defn}
-            elif isinstance(defn, dict) and "@id" in defn:
+            elif isinstance(defn, dict) and ("@id" in defn
+                                             or "@reverse" in defn):
                 self.terms[term] = defn
             else:
                 raise ValueError(f"unsupported @context entry {term!r}")
 
     def _expand_ref(self, name: str) -> str:
         """Expand a term / compact IRI / relative IRI used in IRI position."""
-        if name in self.terms:
+        if name in self.terms and "@id" in self.terms[name]:
             return self.terms[name]["@id"]
         if ":" in name:
             pfx, local = name.split(":", 1)
@@ -86,9 +93,13 @@ class _Ctx:
         return name
 
     def expand_prop(self, name: str) -> tuple[str, dict]:
-        """→ (predicate IRI, term definition) for a node-object key."""
+        """→ (predicate IRI, term definition) for a node-object key.
+        A reverse term (``{"@reverse": iri}``) expands to that IRI; the
+        caller flips subject/object when ``"@reverse" in defn``."""
         defn = self.terms.get(name, {})
-        if name in self.terms:
+        if "@reverse" in defn:
+            iri = self._expand_ref(defn["@reverse"])
+        elif name in self.terms:
             iri = self._expand_ref(defn["@id"])
         elif ":" in name:
             iri = self._expand_ref(name)
@@ -153,26 +164,48 @@ class _Parser:
     def _node(self, node: dict, ctx: _Ctx, graph: str | None) -> str:
         # Nested nodes may carry their own @context (re-derived here —
         # idempotent for the top-level doc, whose context parse() already
-        # applied).  A nested @graph would silently drop its contained
-        # triples if treated as a skipped keyword, so it raises like every
-        # other unsupported keyword (top-level @graph is handled in parse).
-        if "@graph" in node:
-            raise ValueError("nested @graph (graph container inside a node "
-                             "object) is outside the supported subset")
+        # applied).
         if "@context" in node:
             ctx = _Ctx(node["@context"])
         subj = (ctx._expand_ref(node["@id"]) if "@id" in node
                 else self._blank())
-        types = node.get("@type", [])
-        for t in types if isinstance(types, list) else [types]:
+        if "@graph" in node:
+            # Graph object reached as a value: the node names a graph and
+            # its @graph contents land there (JSON-LD deserialization to
+            # an RDF dataset; a holder without @id names a fresh
+            # blank-node graph).  The holder's own properties stay in the
+            # *enclosing* graph, same as parse()'s top-level handling.
+            self.parse(node["@graph"], ctx, subj)
+        for t in (lambda ts: ts if isinstance(ts, list) else [ts])(
+                node.get("@type", [])):
             self.rows.append((subj, RDF_TYPE, ctx.expand_type(t),
                               None, None, graph))
+        if "@reverse" in node:
+            rev = node["@reverse"]
+            if not isinstance(rev, dict):
+                raise ValueError("@reverse must hold an object mapping "
+                                 "properties to node references")
+            for key, value in rev.items():
+                pred, defn = ctx.expand_prop(key)
+                if "@reverse" in defn:
+                    raise ValueError(f"reverse term {key!r} inside @reverse "
+                                     "(double reversal) is not supported")
+                values = value if isinstance(value, list) else [value]
+                for v in values:
+                    self._reverse_value(subj, pred, v, ctx, graph)
         for key, value in node.items():
-            if key in _KEYWORDS:
+            if key == "@reverse" or key in _KEYWORDS:
                 continue
             if key.startswith("@"):
                 raise ValueError(f"unsupported JSON-LD keyword {key!r}")
             pred, defn = ctx.expand_prop(key)
+            if "@reverse" in defn:
+                # reverse term in a normal property position: values are
+                # node references that point BACK at this node
+                values = value if isinstance(value, list) else [value]
+                for v in values:
+                    self._reverse_value(subj, pred, v, ctx, graph)
+                continue
             if defn.get("@container") == "@list" and isinstance(value, list):
                 # list-coerced term: the ARRAY is ordered — one rdf list
                 head = self._list_chain(value, defn, ctx, graph)
@@ -182,6 +215,23 @@ class _Parser:
             for v in values:
                 self._value(subj, pred, defn, v, ctx, graph)
         return subj
+
+    def _reverse_value(self, subj: str, pred: str, v, ctx: _Ctx,
+                       graph: str | None) -> None:
+        """Emit ``(v, pred, subj)`` — the flipped direction shared by the
+        ``@reverse`` keyword and reverse terms.  Values must be node
+        references (a literal under @reverse is invalid JSON-LD)."""
+        if isinstance(v, dict):
+            if "@value" in v or "@list" in v:
+                raise ValueError("@reverse values must be node references, "
+                                 "not literals or lists")
+            obj = self._node(v, ctx, graph)
+        elif isinstance(v, str):
+            obj = ctx._expand_ref(v)
+        else:
+            raise ValueError("@reverse values must be node references, "
+                             f"got {v!r}")
+        self.rows.append((obj, pred, subj, None, None, graph))
 
     def _list_chain(self, items: list, defn: dict, ctx: _Ctx,
                     graph: str | None) -> str:

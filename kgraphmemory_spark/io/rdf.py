@@ -85,6 +85,27 @@ def _term(uri_or_blank: Column) -> Column:
         F.concat(F.lit("<"), uri_or_blank, F.lit(">")))
 
 
+def _object_term(cols: set[str]) -> Column:
+    """Render the object column as an N-Triples term: a typed/lang-tagged
+    object is always a literal; otherwise IRI-shaped strings become URI
+    terms and ``_:`` labels stay blank nodes.  Shared by the line formats
+    here and the whole-document serializers (io/serialize.py)."""
+    obj = F.col("object")
+    dt = F.col("obj_datatype") if "obj_datatype" in cols else F.lit(None).cast("string")
+    lang = F.col("obj_lang") if "obj_lang" in cols else F.lit(None).cast("string")
+    literal = F.concat(
+        F.lit('"'), _escape_literal(obj), F.lit('"'),
+        F.when(dt.isNotNull(), F.concat(F.lit("^^<"), dt, F.lit(">")))
+         .when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+         .otherwise(F.lit("")),
+    )
+    return F.when(
+        dt.isNull() & lang.isNull() & obj.rlike(_URI_SHAPE), _term(obj)
+    ).when(
+        dt.isNull() & lang.isNull() & obj.startswith("_:"), obj
+    ).otherwise(literal)
+
+
 def serialize_lines(triples: DataFrame, fmt: str = "ntriples") -> DataFrame:
     """triples(subject, predicate, object[, obj_datatype, obj_lang, graph])
     → one-column DataFrame ``value`` of N-Triples / N-Quads lines.
@@ -95,25 +116,8 @@ def serialize_lines(triples: DataFrame, fmt: str = "ntriples") -> DataFrame:
     if fmt not in ("ntriples", "nquads"):
         raise ValueError(f"unsupported line format: {fmt}")
     cols = set(triples.columns)
-    obj = F.col("object")
-    dt = F.col("obj_datatype") if "obj_datatype" in cols else F.lit(None).cast("string")
-    lang = F.col("obj_lang") if "obj_lang" in cols else F.lit(None).cast("string")
-
-    literal = F.concat(
-        F.lit('"'), _escape_literal(obj), F.lit('"'),
-        F.when(dt.isNotNull(), F.concat(F.lit("^^<"), dt, F.lit(">")))
-         .when(lang.isNotNull(), F.concat(F.lit("@"), lang))
-         .otherwise(F.lit("")),
-    )
-    # a typed/lang-tagged object is always a literal; otherwise IRI-shaped
-    # strings become URI terms
-    obj_term = F.when(
-        dt.isNull() & lang.isNull() & obj.rlike(_URI_SHAPE), _term(obj)
-    ).when(
-        dt.isNull() & lang.isNull() & obj.startswith("_:"), obj
-    ).otherwise(literal)
-
-    parts = [_term(F.col("subject")), _term(F.col("predicate")), obj_term]
+    parts = [_term(F.col("subject")), _term(F.col("predicate")),
+             _object_term(cols)]
     if fmt == "nquads" and "graph" in cols:
         parts.append(_term(F.col("graph")))
     return triples.select(

@@ -14,8 +14,9 @@ published Turtle:
 - literals in all four quote forms — ``"..."``, ``'...'``, and the
   multi-line ``\"\"\"...\"\"\"`` / ``'''...'''`` long forms — with ``\\``
   escapes (incl. ``\\uXXXX``), optional ``^^dt`` (IRI or prefixed) or
-  ``@lang``; numeric shorthand (xsd:integer / xsd:decimal) and
-  ``true``/``false`` (xsd:boolean);
+  ``@lang``; numeric shorthand (xsd:integer / xsd:decimal incl. the
+  leading-dot ``.5`` form / xsd:double for exponent forms like ``1e3``,
+  ``-2.5E-2``) and ``true``/``false`` (xsd:boolean);
 - blank-node property lists ``[ p o ; ... ]`` (fresh anonymous node,
   usable in subject or object position — a subject plist may stand alone
   per the grammar) and collections ``( e1 e2 ... )`` desugared to
@@ -30,9 +31,6 @@ Blank-node labels are kept verbatim and are therefore *document*-scoped,
 same as the N-Triples path (io/rdf.py parse_lines): loading two files
 that both use ``_:b1`` merges those nodes.  Callers that need file-scoped
 bnodes should rewrite labels after load (they carry the ``_:`` prefix).
-
-NOT supported (documented limitation): floating-point exponent
-shorthand (``1e3`` — write ``"1e3"^^xsd:double``).
 
 Scale shape: Turtle is not line-splittable, so parallelism is ONE TASK
 PER FILE — `spark.read.text(wholetext)` distributes the file list and
@@ -72,7 +70,8 @@ _TOKEN = re.compile(
     | (?P<sliteral>'(?:[^'\\]|\\.)*')
     | (?P<dtmark>\^\^)
     | (?P<blank>_:[\w\-]+(?:\.[\w\-]+)*)
-    | (?P<num>[+-]?(?:\d+\.\d+|\d+))
+    | (?P<num>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+
+                     |\d+[eE][+-]?\d+|\d+\.\d+|\.\d+|\d+))
     | (?P<pname>(?:[A-Za-z_][\w.\-]*)?:(?:[\w\-%]+(?:\.[\w\-%]+)*)?)
     | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|true\b|false\b|a\b
              |(?i:GRAPH)\b)
@@ -170,7 +169,16 @@ class _Parser:
         if kind == "kw" and tok in ("true", "false"):
             return tok, XSD + "boolean", None, True
         if kind == "num":
-            dt = XSD + ("decimal" if "." in tok else "integer")
+            # Turtle numeric shorthand: exponent → xsd:double, dot →
+            # xsd:decimal (incl. the leading-dot `.5` form), else
+            # xsd:integer.  A trailing `5.` stays integer + statement dot,
+            # per the grammar (DECIMAL requires a digit after the point).
+            if "e" in tok or "E" in tok:
+                dt = XSD + "double"
+            elif "." in tok:
+                dt = XSD + "decimal"
+            else:
+                dt = XSD + "integer"
             return tok, dt, None, True
         if kind in ("literal", "literal3", "sliteral", "sliteral3"):
             q = 3 if kind.endswith("3") else 1

@@ -129,7 +129,7 @@ def test_jsonld_named_graph_and_errors():
         parse_jsonld_text('{"@id": "http://e/a", "bare": 1}')
     with pytest.raises(ValueError, match="unsupported JSON-LD keyword"):
         parse_jsonld_text('{"@id": "http://e/a", '
-                          '"@reverse": {"http://e/p": {"@id": "http://e/b"}}}')
+                          '"@nest": {"http://e/p": {"@id": "http://e/b"}}}')
 
 
 # -------------------------------------------------------------- RDF/XML
@@ -161,7 +161,7 @@ def test_rdfxml_semantics():
 def test_rdfxml_unsupported_parsetype_raises():
     bad = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
            'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/a">'
-           '<ex:p rdf:parseType="Collection"/></rdf:Description></rdf:RDF>')
+           '<ex:p rdf:parseType="Bogus"/></rdf:Description></rdf:RDF>')
     with pytest.raises(ValueError, match="unsupported rdf:parseType"):
         parse_rdfxml_text(bad)
 
@@ -247,12 +247,24 @@ def test_jsonld_value_object_bare_datatype_uses_vocab():
                      "http://vocab.org/dt", None, None)]
 
 
-def test_jsonld_nested_graph_raises_not_silent_drop():
+def test_jsonld_nested_graph_object():
+    """A graph object reached as a property value names a graph (its @id)
+    holding the contained triples; the link triple stays in the enclosing
+    graph."""
     doc = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
            '"ex:p": {"@id": "ex:g", "@graph": [{"@id": "ex:b", '
            '"ex:q": 1}]}}')
-    with pytest.raises(ValueError, match="nested @graph"):
-        parse_jsonld_text(doc)
+    rows = parse_jsonld_text(doc)
+    assert (EX + "a", EX + "p", EX + "g", None, None, None) in rows
+    assert (EX + "b", EX + "q", "1", XSD + "integer", None,
+            EX + "g") in rows
+    # holder without @id → fresh blank-node graph name
+    doc2 = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
+            '"ex:p": {"@graph": [{"@id": "ex:b", "ex:q": "v"}]}}')
+    rows2 = parse_jsonld_text(doc2)
+    g = next(r[5] for r in rows2 if r[1] == EX + "q")
+    assert g.startswith("_:")
+    assert (EX + "a", EX + "p", g, None, None, None) in rows2
 
 
 def test_jsonld_nested_context_honored_not_skipped():
@@ -287,13 +299,32 @@ def test_rdfxml_xml_namespace_attrs_not_junk_triples():
     assert rows == [("http://e/a", "http://e/p", "v", None, None, None)]
 
 
-def test_rdfxml_xml_base_raises_documented_unsupported():
+def test_rdfxml_xml_base_resolution():
+    """xml:base scopes per element and resolves rdf:about / rdf:resource /
+    rdf:datatype / rdf:ID (RFC 3986 via urljoin)."""
     doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
-           'xmlns:ex="http://e/" xml:base="http://b/">'
-           '<rdf:Description rdf:about="a" xml:base="http://b/">'
-           '<ex:p>v</ex:p></rdf:Description></rdf:RDF>')
-    with pytest.raises(ValueError, match="xml:base"):
-        parse_rdfxml_text(doc)
+           'xmlns:ex="http://e/" xml:base="http://b/dir/">'
+           '<rdf:Description rdf:about="a">'
+           '<ex:p rdf:resource="x"/>'
+           '<ex:q rdf:datatype="dt">7</ex:q>'
+           '</rdf:Description>'
+           '<rdf:Description rdf:ID="frag"><ex:r>v</ex:r></rdf:Description>'
+           '<rdf:Description rdf:about="c" xml:base="http://other/">'
+           '<ex:s rdf:resource="#here"/></rdf:Description>'
+           '</rdf:RDF>')
+    d = {(s, p): (o, dt) for s, p, o, dt, *_ in parse_rdfxml_text(doc)}
+    assert d[("http://b/dir/a", "http://e/p")] == ("http://b/dir/x", None)
+    assert d[("http://b/dir/a", "http://e/q")] == ("7", "http://b/dir/dt")
+    assert d[("http://b/dir/#frag", "http://e/r")] == ("v", None)
+    # inner xml:base overrides the root's for that element's subtree
+    assert d[("http://other/c", "http://e/s")] == ("http://other/#here",
+                                                   None)
+    # no base → rdf:ID keeps the bare-fragment form, absolute IRIs pass
+    nob = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/">'
+           '<rdf:Description rdf:ID="f"><ex:p>v</ex:p></rdf:Description>'
+           '</rdf:RDF>')
+    assert parse_rdfxml_text(nob)[0][0] == "#f"
 
 
 # ------------------------------------------------- round 3: JSON-LD @list
@@ -336,3 +367,97 @@ def test_jsonld_list_with_extra_keys_raises():
     with _pt.raises(ValueError, match="@list"):
         parse_jsonld_text('{"@id": "http://e/a", '
                           '"http://e/p": {"@list": [], "@id": "http://e/x"}}')
+
+
+# ----------------------- round 3: rdf:li, Collection/Literal, @reverse
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rdfxml_li_numbering():
+    """rdf:li becomes rdf:_1, rdf:_2, ... numbered per enclosing element;
+    a parseType=Resource block restarts the numbering (spec §7.4)."""
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/">'
+           '<rdf:Seq rdf:about="http://e/seq">'
+           '<rdf:li>one</rdf:li><rdf:li>two</rdf:li>'
+           '<ex:other>mid</ex:other><rdf:li>three</rdf:li>'
+           '<ex:blk rdf:parseType="Resource"><rdf:li>inner</rdf:li></ex:blk>'
+           '</rdf:Seq></rdf:RDF>')
+    rows = parse_rdfxml_text(doc)
+    d = {(s, p): o for s, p, o, *_ in rows}
+    seq = "http://e/seq"
+    assert d[(seq, RDF_NS + "_1")] == "one"
+    assert d[(seq, RDF_NS + "_2")] == "two"
+    assert d[(seq, RDF_NS + "_3")] == "three"       # skips ex:other
+    assert d[(seq, RDF_NS + "type")] == RDF_NS + "Seq"
+    inner = d[(seq, "http://e/blk")]
+    assert d[(inner, RDF_NS + "_1")] == "inner"     # restarted, not _4
+
+
+def test_rdfxml_parsetype_collection():
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/">'
+           '<rdf:Description rdf:about="http://e/a">'
+           '<ex:items rdf:parseType="Collection">'
+           '<rdf:Description rdf:about="http://e/x"/>'
+           '<rdf:Description rdf:about="http://e/y"/>'
+           '</ex:items>'
+           '<ex:none rdf:parseType="Collection"/>'
+           '</rdf:Description></rdf:RDF>')
+    rows = parse_rdfxml_text(doc)
+    d = {(s, p): o for s, p, o, *_ in rows}
+    head = d[("http://e/a", "http://e/items")]
+    assert d[(head, RDF_NS + "first")] == "http://e/x"
+    cell2 = d[(head, RDF_NS + "rest")]
+    assert d[(cell2, RDF_NS + "first")] == "http://e/y"
+    assert d[(cell2, RDF_NS + "rest")] == RDF_NS + "nil"
+    assert d[("http://e/a", "http://e/none")] == RDF_NS + "nil"
+
+
+def test_rdfxml_parsetype_literal():
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://e/">'
+           '<rdf:Description rdf:about="http://e/a">'
+           '<ex:html rdf:parseType="Literal">pre<b>bold</b>post</ex:html>'
+           '</rdf:Description></rdf:RDF>')
+    (s, p, o, dt, lang, g), = parse_rdfxml_text(doc)
+    assert (s, p) == ("http://e/a", "http://e/html")
+    assert o == "pre<b>bold</b>post"
+    assert dt == RDF_NS + "XMLLiteral" and lang is None
+
+
+def test_jsonld_reverse_keyword():
+    """The @reverse node-object keyword flips subject/object."""
+    doc = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:alice", '
+           '"@reverse": {"ex:childOf": [{"@id": "ex:bob"}, "ex:carol"]}}')
+    rows = parse_jsonld_text(doc)
+    assert (EX + "bob", EX + "childOf", EX + "alice",
+            None, None, None) in rows
+    assert (EX + "carol", EX + "childOf", EX + "alice",
+            None, None, None) in rows
+
+
+def test_jsonld_reverse_term():
+    """A context term defined with {"@reverse": iri} flips direction when
+    used in normal property position, and its nested node objects still
+    emit their own triples."""
+    doc = ('{"@context": {"ex": "http://example.org/", '
+           '"children": {"@reverse": "ex:childOf"}}, '
+           '"@id": "ex:alice", '
+           '"children": {"@id": "ex:bob", "ex:name": "Bob"}}')
+    rows = parse_jsonld_text(doc)
+    assert (EX + "bob", EX + "childOf", EX + "alice",
+            None, None, None) in rows
+    assert (EX + "bob", EX + "name", "Bob", None, None, None) in rows
+
+
+def test_jsonld_reverse_literal_raises():
+    doc = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
+           '"@reverse": {"ex:p": {"@value": "lit"}}}')
+    with pytest.raises(ValueError, match="node references"):
+        parse_jsonld_text(doc)
+    doc2 = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:a", '
+            '"@reverse": {"ex:p": 5}}')
+    with pytest.raises(ValueError, match="node references"):
+        parse_jsonld_text(doc2)

@@ -256,3 +256,16 @@ def test_long_literal_in_collection_and_plist():
     objs = {(o, dt, lang) for s, p, o, dt, lang, g in rows}
     assert ("x y", None, None) in objs
     assert ("v", None, None) in objs
+
+
+def test_numeric_exponent_and_leading_dot_forms():
+    """Turtle numeric shorthand: exponent → xsd:double, leading-dot
+    decimal, trailing `5.` stays integer + statement dot."""
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:p 1e3 , -2.5E-2 , .5 , 5.0e0 , .5e-2 .\n"
+        "ex:b ex:q 5.")
+    vals = {(o, dt.rsplit('#', 1)[1]) for _, _, o, dt, _, _ in rows}
+    assert vals == {("1e3", "double"), ("-2.5E-2", "double"),
+                    (".5", "decimal"), ("5.0e0", "double"),
+                    (".5e-2", "double"), ("5", "integer")}
