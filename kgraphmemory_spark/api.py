@@ -20,6 +20,8 @@ Method parity map (reference → here):
 - hybrid_search (kgraph.py:296-346) → ``hybrid_search`` (semi-join, no N+1)
 - get_object_vectors (kgraph.py:462-485) → ``object_vectors``
 - get_stats (kgraph.py:503-517) → ``stats``
+- serialize (kgraph_rdf_db.py:523-547) → ``serialize`` (string) /
+  ``serialize_df`` (distributed block rows)
 - frame traversal entity→frame→slot (kgraph_frame_bridge.py:289-323) →
   ``frames_for_entity`` / ``frame_slots``
 - chat/interaction family (kgraph_chat_bridge.py,
@@ -148,6 +150,25 @@ class KGraphView:
             .crossJoin(self.kg.relations.agg(
                 F.count(F.lit(1)).alias("n_relations")))
         )
+
+    # -- serialization --------------------------------------------------
+
+    def serialize(self, fmt: str = "turtle",
+                  prefixes: dict[str, str] | None = None) -> str:
+        """Dump the graph's triple table as one document string — the
+        reference's ``serialize`` (kgraph_rdf_db.py:523-547; same default
+        format, same reference spellings).  Driver-bounded exactly like
+        the reference's in-process dump; for 100 TB outputs use
+        ``serialize_df`` + ``df.write.text``."""
+        from .io.serialize import dump_rdf_string
+        return dump_rdf_string(self.kg.triples, fmt, prefixes=prefixes)
+
+    def serialize_df(self, fmt: str = "turtle") -> DataFrame:
+        """Distributed form: block/line rows (column ``value``) for a
+        parallel text sink — see io/serialize.py for each format's
+        ordering contract."""
+        from .io.serialize import serialize_rdf
+        return serialize_rdf(self.kg.triples, fmt)
 
 
 class ChatView:

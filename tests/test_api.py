@@ -83,3 +83,22 @@ def test_stats(view):
     assert s.n_entities == view.kg.entities.count()
     assert s.n_relations == view.kg.relations.count()
     assert s.n_triples > 0
+
+
+def test_serialize_facade(view):
+    """KGraphView.serialize mirrors the reference's store dump
+    (kgraph_rdf_db.py:523-547): default turtle, reference spellings,
+    round-trips through the engine's own parsers."""
+    from kgraphmemory_spark.io.rdfxml import parse_rdfxml_text
+    from kgraphmemory_spark.io.turtle import parse_turtle_text
+
+    want = {(r["subject"], r["predicate"], r["object"])
+            for r in view.kg.triples.collect()}
+    assert len(want) > 0
+    ttl = view.serialize()
+    got = {(s, p, o) for s, p, o, _, _, _ in parse_turtle_text(ttl)}
+    assert got == want
+    xml = view.serialize("rdf/xml")
+    assert {(s, p, o) for s, p, o, *_ in parse_rdfxml_text(xml)} == want
+    rows = view.serialize_df("nt")
+    assert rows.columns == ["value"] and rows.count() == len(want)
