@@ -299,6 +299,21 @@ def serialize_rdf(triples: DataFrame, fmt: str = "turtle") -> DataFrame:
     return serialize_rdfxml(triples)
 
 
+def write_rdf(triples: DataFrame, path: str, fmt: str = "turtle") -> None:
+    """Parallel text sink for the order-independent formats (Turtle /
+    TriG blocks, JSON-LD node-object lines, N-Triples / N-Quads).
+    RDF/XML is refused: a part-file split under one ``<rdf:RDF>`` root
+    cannot be reassembled by concatenation — use ``dump_rdf_string`` or
+    an N-Triples sink instead (that constraint is XML's, not Spark's)."""
+    kind = _norm(fmt)
+    if kind == "rdfxml":
+        raise ValueError(
+            "RDF/XML needs a single document root; use dump_rdf_string "
+            "(driver-side) or an order-independent format for parallel "
+            "writes")
+    serialize_rdf(triples, fmt).write.mode("overwrite").text(path)
+
+
 def dump_rdf_string(triples: DataFrame, fmt: str = "turtle",
                     prefixes: dict[str, str] | None = None,
                     default_graph: str | None = None) -> str:

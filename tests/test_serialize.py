@@ -120,3 +120,17 @@ def test_serializers_stay_jvm_side(triples):
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan, fmt
         assert "mapinpandas" not in plan.lower(), fmt
+
+
+def test_write_rdf_parallel_sink_roundtrip(spark, triples, tmp_path):
+    """write_rdf → import_rdf closes the loop for the splittable and
+    block formats; RDF/XML is refused (single-root constraint)."""
+    from kgraphmemory_spark.io.rdf import import_rdf
+    from kgraphmemory_spark.io.serialize import write_rdf
+
+    p = str(tmp_path / "out_ttl")
+    write_rdf(triples, p, "turtle")
+    back = import_rdf(spark, p, fmt="turtle")
+    assert {tuple(r)[:5] for r in back.collect()} == WANT
+    with pytest.raises(ValueError, match="single document root"):
+        write_rdf(triples, str(tmp_path / "x"), "rdf/xml")
