@@ -15,7 +15,11 @@ Method parity map (reference → here):
 - get_linked_objects (kgraph_bridge_utilities.py:304-352) → ``linked_objects``
 - filter_by_property (kgraph_bridge_utilities.py:697-745) → ``filter_by_property``
 - get_object_type (kgraph_bridge_utilities.py:763-788) → ``object_type``
-- sparql_ask (kgraph.py:212-222) → ``ask``
+- sparql_ask (kgraph.py:212-222) → ``ask`` (DataFrame predicate form) and
+  ``sparql_ask`` (raw SPARQL string via sparql.py)
+- sparql_query / sparql_construct (kgraph.py:185-210) →
+  ``sparql_query`` / ``sparql_construct`` — the reference's query
+  *strings* run unchanged, compiled to one DataFrame plan (sparql.py)
 - vector_search / vector_search_by_type (kgraph.py:224-272) → ``vector_search``
 - hybrid_search (kgraph.py:296-346) → ``hybrid_search`` (semi-join, no N+1)
 - get_object_vectors (kgraph.py:462-485) → ``object_vectors``
@@ -150,6 +154,27 @@ class KGraphView:
             .crossJoin(self.kg.relations.agg(
                 F.count(F.lit(1)).alias("n_relations")))
         )
+
+    # -- SPARQL ---------------------------------------------------------
+
+    def _sparql(self):
+        from .sparql import SparqlEngine
+        return SparqlEngine(self.kg.triples)
+
+    def sparql_query(self, query: str) -> DataFrame:
+        """SELECT over the triple table (kgraph.py:185-198): columns are
+        the projected variables; the reference returns dict rows —
+        ``[r.asDict() for r in df.collect()]`` is the literal analog."""
+        return self._sparql().query(query)
+
+    def sparql_ask(self, query: str) -> bool:
+        """ASK → bool (kgraph.py:212-222)."""
+        return self._sparql().ask(query)
+
+    def sparql_construct(self, query: str) -> DataFrame:
+        """CONSTRUCT → (subject, predicate, object) rows
+        (kgraph.py:200-210)."""
+        return self._sparql().construct(query)
 
     # -- serialization --------------------------------------------------
 

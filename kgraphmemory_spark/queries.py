@@ -1884,6 +1884,63 @@ def q_j11_salted(spark, sf):
              "kind", "entity_id", "link_score")
 
 
+# ===================== SPARQL front-end certification =====================
+#
+# These two entries run the reference's own query LANGUAGE — raw SPARQL
+# strings through sparql.py (kgraph.py:185-210 sparql_query /
+# sparql_construct) — against the materialized triple table, oracle-paired
+# like every other entry.  The DataFrame twins of the same shapes
+# (kg_frame_reconstruct, kg_entity_degree) stay certified alongside, so a
+# green row here certifies the parser+compiler, not just the plan shape.
+
+@register("sparql_frame_construct", f"""
+  WITH t AS ({SQL_TRIPLES_LONG})
+  SELECT DISTINCT s.object AS subject, ty.object AS predicate,
+         d.object AS object
+  FROM t ty
+  JOIN t s ON s.subject = ty.subject
+       AND s.predicate = 'http://vital.ai/ontology/vital-core#hasEdgeSource'
+  JOIN t d ON d.subject = ty.subject
+       AND d.predicate = 'http://vital.ai/ontology/vital-core#hasEdgeDestination'
+  WHERE ty.predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND ty.object LIKE 'urn:frame:%'
+""")
+def q_sparql_construct(spark, sf):
+    """Raw-SPARQL CONSTRUCT (variable-predicate template, 3-pattern BGP,
+    STRSTARTS filter) reconstructing relations from the frame
+    reification — the WordNet battery's flagship shape
+    (wordnet_batch_load_test.py:203-240) on this engine's vocabulary."""
+    from .semantics import EDGE_DESTINATION, EDGE_SOURCE
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(kg_tables(spark, sf).triples)
+    return eng.construct(f"""CONSTRUCT {{ ?src ?ftype ?dst . }} WHERE {{
+        ?frame a ?ftype .
+        ?frame <{EDGE_SOURCE}> ?src .
+        ?frame <{EDGE_DESTINATION}> ?dst .
+        FILTER(STRSTARTS(?ftype, "urn:frame:")) }}""")
+
+
+@register("sparql_degree_topk", f"""
+  WITH t AS ({SQL_TRIPLES_LONG})
+  SELECT object AS entity, CAST(count(*) AS BIGINT) AS deg
+  FROM t WHERE predicate IN (
+    'http://vital.ai/ontology/vital-core#hasEdgeSource',
+    'http://vital.ai/ontology/vital-core#hasEdgeDestination')
+  GROUP BY 1 ORDER BY deg DESC, entity LIMIT 50
+""")
+def q_sparql_degree(spark, sf):
+    """Raw-SPARQL UNION + GROUP BY COUNT + ORDER BY DESC + deterministic
+    tie-break + LIMIT (docs/sparql-examples.md:213-223 shape)."""
+    from .semantics import EDGE_DESTINATION, EDGE_SOURCE
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(kg_tables(spark, sf).triples)
+    return eng.query(f"""SELECT ?entity (COUNT(*) AS ?deg) WHERE {{
+        {{ ?f <{EDGE_SOURCE}> ?entity . }}
+        UNION
+        {{ ?f <{EDGE_DESTINATION}> ?entity . }}
+      }} GROUP BY ?entity ORDER BY DESC(?deg) ?entity LIMIT 50""")
+
+
 # ===================== certification window curation ======================
 #
 # The driver's correctness gate certifies the FIRST 50 registry entries in
@@ -1896,14 +1953,17 @@ def q_j11_salted(spark, sf):
 # #1").  Entries below the fold remain registered and mirror-verified
 # (tests/driver_mirror.py covers all of them); they are near-duplicate
 # battery variants of certified ops (e.g. p2/p3/p4 string predicates vs
-# certified p5/p10; d2/d3 vs the end-to-end d6; v1/v3 vs v2/v4/v5).
+# certified p5/p10; d2/d3 vs the end-to-end d6; v1/v3 vs v2/v4/v5;
+# round 3: j3_multiway_topk and kg_entity_degree rotate below the fold in
+# favor of the raw-SPARQL twins of the same shapes — kg_frame_reconstruct
+# keeps the multiway-join family certified in DataFrame form).
 
 _CERTIFIED_WINDOW = [
     # the construction pipeline, stage by stage (north rule)
     "kg_docs_clean", "kg_mentions", "kg_raw_triples", "kg_linked",
     "kg_entities", "kg_relations", "kg_frame_reconstruct",
     "kg_triples_long", "kg_provenance", "kg_cooccurrence",
-    "kg_top_entities", "kg_entity_degree", "kg_link_histogram", "kg_stats",
+    "kg_top_entities", "sparql_degree_topk", "kg_link_histogram", "kg_stats",
     "kg_vector_texts", "kg_hybrid_search",
     # store CRUD (S1-S18)
     "s1_object_roundtrip", "s4_remove_cascade", "s9_nt_roundtrip",
@@ -1914,7 +1974,7 @@ _CERTIFIED_WINDOW = [
     # filter patterns
     "p5_ts_range", "p10_bind_if_exists",
     # joins (incl. the salted skew path and the multigraph union)
-    "j2_frame_slots", "j3_multiway_topk", "j6_semi_exists",
+    "j2_frame_slots", "sparql_frame_construct", "j6_semi_exists",
     "j7_anti_not_exists", "j11_salted_linking", "x1_multigraph_stats",
     # aggregations / windows / sets
     "a1_tpch_q1", "a5_group_concat", "a8_pivot", "a9_first_wins",

@@ -1,0 +1,795 @@
+"""SPARQL front-end: the reference's query strings, compiled to
+DataFrame plans.
+
+The reference executes raw SPARQL through pyoxigraph —
+``sparql_query`` / ``sparql_construct`` / ``sparql_ask``
+(kgraph.py:185-222, kgraph_rdf_db.py:238-340) — and every query its
+docs and test suites actually run (docs/sparql-examples.md, the WordNet
+battery test_scripts/wordnet_batch_load_test.py:95-313, the interaction
+tests) uses the fragment implemented here:
+
+- prologue ``PREFIX``; ``SELECT [DISTINCT]`` with plain variables,
+  ``*``, and ``(expr AS ?v)`` projections; aggregates ``COUNT(*)``,
+  ``COUNT([DISTINCT] ?v)``, ``SUM/MIN/MAX/AVG(?v)``,
+  ``GROUP_CONCAT(?v [; SEPARATOR "s"])``;
+- group graph patterns: basic triple patterns (``;`` / ``,``
+  abbreviations, ``a``), ``OPTIONAL { }``, ``{ } UNION { }``,
+  ``FILTER(expr)``, ``BIND(expr AS ?v)``, ``GRAPH <g>/?g { }``,
+  nested groups;
+- filter/bind expressions: comparisons (numeric literals compare
+  numerically via try_cast, ISO dateTime strings lexically — the
+  store's canonical form), ``&& || !``, ``IN``, ``CONTAINS``,
+  ``STRSTARTS``, ``STRLEN``, ``LCASE``, ``UCASE``, ``STR``, ``REGEX``,
+  ``BOUND``, ``IF``, ``EXISTS { }`` / ``NOT EXISTS { }``;
+- solution modifiers ``GROUP BY``, ``ORDER BY [ASC|DESC]``, ``LIMIT``,
+  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``.
+
+Compilation is Spark-first: each triple pattern is a filtered scan of
+the triples table projected to its variable columns; shared variables
+become equi-join keys; OPTIONAL is a left join, UNION a unionByName,
+EXISTS a semi/anti join — the whole query is ONE declarative plan that
+Catalyst reorders/broadcasts and AQE re-plans at runtime, never a
+pattern-at-a-time loop (the reference evaluates object-at-a-time inside
+pyoxigraph's single process).  A 12-pattern BGP like the WordNet
+CONSTRUCT compiles to an 11-join tree over one scanned relation —
+exactly the shape Spark's optimizer is built for.
+
+Documented deviations (all on the engine's string data model):
+- ``GROUP_CONCAT`` sorts its inputs (deterministic distributed order);
+- a typed object literal matches on lexical form, plus datatype when
+  the table carries ``obj_datatype``;
+- ``CONSTRUCT`` returns the deduplicated triple set (a graph is a set);
+- ``SPARQL UPDATE`` is not parsed here — the update analog is
+  ``operators.store.apply_update`` (S8).
+
+Not supported (raises): property paths, subqueries, VALUES, MINUS,
+SERVICE, NOW()/rand-style nondeterministic builtins, named-graph
+management.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_NUMERIC_DTS = {XSD + s for s in ("integer", "decimal", "double", "float",
+                                 "int", "long")}
+
+_TOK = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<dtm>\^\^)
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<pname>[A-Za-z_][\w\-]*:[\w\-.%]*|:[\w\-.%]*)
+    | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/+-])
+    """,
+    re.X,
+)
+
+_ESC = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unquote(tok: str) -> str:
+    body = tok[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        if body[i] == "\\" and i + 1 < len(body):
+            out.append(_ESC.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(body[i])
+            i += 1
+    return "".join(out)
+
+
+def _tokens(text: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if m is None:
+            raise ValueError(f"SPARQL lex error at {text[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            toks.append((m.lastgroup, m.group()))
+    return toks
+
+
+# ------------------------------------------------------------------- AST
+
+@dataclass
+class Group:
+    patterns: list = field(default_factory=list)   # (s, p, o, graph) terms
+    optionals: list = field(default_factory=list)  # Group
+    unions: list = field(default_factory=list)     # [Group, Group, ...]
+    filters: list = field(default_factory=list)    # Expr
+    binds: list = field(default_factory=list)      # (Expr, varname)
+    subgroups: list = field(default_factory=list)  # Group (plain nesting)
+
+
+# Terms: ("var", name) | ("iri", value) | ("lit", lexical, dt, lang)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokens(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers --------------------------------------------------
+    def _peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _kw(self, word: str) -> bool:
+        kind, val = self._peek()
+        if kind == "word" and val.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def _expect(self, kind: str, val: str | None = None):
+        k, v = self._next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"SPARQL parse error: expected {val or kind}, "
+                             f"got {v!r}")
+        return v
+
+    def _at(self, kind: str, val: str | None = None) -> bool:
+        k, v = self._peek()
+        return k == kind and (val is None or v == val)
+
+    # -- prologue / terms ----------------------------------------------
+    def _prologue(self):
+        while True:
+            kind, val = self._peek()
+            if kind == "word" and val.upper() == "PREFIX":
+                self.i += 1
+                pk, pv = self._next()
+                if pk != "pname" or not pv.endswith(":"):
+                    raise ValueError(f"bad PREFIX label {pv!r}")
+                iri = self._expect("iri")
+                self.prefixes[pv[:-1]] = iri[1:-1]
+            elif kind == "word" and val.upper() == "BASE":
+                raise ValueError("BASE is not supported (use absolute IRIs)")
+            else:
+                return
+
+    def _pname(self, tok: str) -> str:
+        pfx, local = tok.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"undeclared prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def _term(self):
+        kind, val = self._next()
+        if kind == "var":
+            return ("var", val[1:])
+        if kind == "iri":
+            return ("iri", val[1:-1])
+        if kind == "pname":
+            return ("iri", self._pname(val))
+        if kind == "word" and val == "a":
+            return ("iri", RDF_TYPE)
+        if kind == "word" and val.upper() in ("TRUE", "FALSE"):
+            return ("lit", val.lower(), XSD + "boolean", None)
+        if kind == "num":
+            dt = ("integer" if re.fullmatch(r"[+-]?\d+", val) else
+                  "double" if ("e" in val or "E" in val) else "decimal")
+            return ("lit", val, XSD + dt, None)
+        if kind == "str":
+            lex = _unquote(val)
+            nk, nv = self._peek()
+            if nk == "dtm":
+                self.i += 1
+                dk, dv = self._next()
+                dt = dv[1:-1] if dk == "iri" else self._pname(dv)
+                return ("lit", lex, dt, None)
+            if nk == "lang":
+                self.i += 1
+                return ("lit", lex, None, nv[1:])
+            return ("lit", lex, None, None)
+        raise ValueError(f"unexpected term {val!r}")
+
+    # -- group graph pattern -------------------------------------------
+    def _group(self, graph=None) -> Group:
+        self._expect("op", "{")
+        g = Group()
+        while not self._at("op", "}"):
+            if self._kw("OPTIONAL"):
+                g.optionals.append(self._group(graph))
+            elif self._kw("FILTER"):
+                g.filters.append(self._bracketed_expr())
+            elif self._kw("BIND"):
+                self._expect("op", "(")
+                e = self._expr()
+                if not self._kw("AS"):
+                    raise ValueError("BIND needs AS ?var")
+                var = self._expect("var")[1:]
+                self._expect("op", ")")
+                g.binds.append((e, var))
+            elif self._kw("GRAPH"):
+                gterm = self._term()
+                g.subgroups.append(self._group(gterm))
+            elif self._at("op", "{"):
+                sub = self._group(graph)
+                if self._kw("UNION"):
+                    arms = [sub, self._group(graph)]
+                    while self._kw("UNION"):
+                        arms.append(self._group(graph))
+                    g.unions.append(arms)
+                else:
+                    g.subgroups.append(sub)
+            else:
+                self._triples_block(g, graph)
+            self._kw_dot_opt()
+        self._expect("op", "}")
+        return g
+
+    def _kw_dot_opt(self):
+        while self._at("op", "."):
+            self.i += 1
+
+    def _triples_block(self, g: Group, graph):
+        subj = self._term()
+        while True:
+            pred = self._term()
+            while True:
+                obj = self._term()
+                g.patterns.append((subj, pred, obj, graph))
+                if self._at("op", ","):
+                    self.i += 1
+                    continue
+                break
+            if self._at("op", ";"):
+                self.i += 1
+                if self._at("op", ".") or self._at("op", "}"):
+                    break                       # dangling ';'
+                continue
+            break
+
+    # -- expressions ----------------------------------------------------
+    def _bracketed_expr(self):
+        # FILTER EXISTS { } / FILTER NOT EXISTS { } come without parens
+        if self._kw("EXISTS"):
+            return ("exists", True, self._group(None))
+        if self._kw("NOT"):
+            if not self._kw("EXISTS"):
+                raise ValueError("expected EXISTS after NOT")
+            return ("exists", False, self._group(None))
+        self._expect("op", "(")
+        e = self._expr()
+        self._expect("op", ")")
+        return e
+
+    def _expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        while self._at("op", "||"):
+            self.i += 1
+            e = ("or", e, self._and())
+        return e
+
+    def _and(self):
+        e = self._rel()
+        while self._at("op", "&&"):
+            self.i += 1
+            e = ("and", e, self._rel())
+        return e
+
+    def _rel(self):
+        e = self._unary()
+        kind, val = self._peek()
+        if kind == "op" and val in ("=", "!=", "<", ">", "<=", ">="):
+            self.i += 1
+            return ("cmp", val, e, self._unary())
+        if kind == "word" and val.upper() == "IN":
+            self.i += 1
+            self._expect("op", "(")
+            items = [self._expr()]
+            while self._at("op", ","):
+                self.i += 1
+                items.append(self._expr())
+            self._expect("op", ")")
+            return ("in", e, items)
+        if kind == "word" and val.upper() == "NOT" and \
+                self._peek(1)[1].upper() == "IN":
+            self.i += 2
+            self._expect("op", "(")
+            items = [self._expr()]
+            while self._at("op", ","):
+                self.i += 1
+                items.append(self._expr())
+            self._expect("op", ")")
+            return ("not", ("in", e, items))
+        return e
+
+    _FUNCS = {"CONTAINS": 2, "STRSTARTS": 2, "STRLEN": 1, "LCASE": 1,
+              "UCASE": 1, "STR": 1, "BOUND": 1, "REGEX": (2, 3),
+              "IF": 3}
+
+    def _unary(self):
+        kind, val = self._peek()
+        if kind == "op" and val == "!":
+            self.i += 1
+            return ("not", self._unary())
+        if kind == "op" and val == "(":
+            self.i += 1
+            e = self._expr()
+            self._expect("op", ")")
+            return e
+        if kind == "word":
+            up = val.upper()
+            if up == "EXISTS":
+                self.i += 1
+                return ("exists", True, self._group(None))
+            if up == "NOT" and self._peek(1)[1].upper() == "EXISTS":
+                self.i += 2
+                return ("exists", False, self._group(None))
+            if up in self._FUNCS:
+                self.i += 1
+                self._expect("op", "(")
+                args = [self._expr()]
+                while self._at("op", ","):
+                    self.i += 1
+                    args.append(self._expr())
+                self._expect("op", ")")
+                want = self._FUNCS[up]
+                ok = (len(args) in want) if isinstance(want, tuple) \
+                    else len(args) == want
+                if not ok:
+                    raise ValueError(f"{up} arity {len(args)}")
+                return ("func", up, args)
+            if up in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
+                raise ValueError(f"nondeterministic builtin {up}() is not "
+                                 "supported")
+        return self._term()
+
+    # -- query forms ----------------------------------------------------
+    def parse(self) -> dict:
+        self._prologue()
+        if self._kw("SELECT"):
+            return self._select()
+        if self._kw("ASK"):
+            return {"form": "ask", "where": self._where_group()}
+        if self._kw("CONSTRUCT"):
+            tmpl = Group()
+            self._expect("op", "{")
+            while not self._at("op", "}"):
+                self._triples_block(tmpl, None)
+                self._kw_dot_opt()
+            self._expect("op", "}")
+            if not self._kw("WHERE"):
+                raise ValueError("CONSTRUCT needs WHERE")
+            q = {"form": "construct", "template": tmpl.patterns,
+                 "where": self._group(None)}
+            q.update(self._modifiers())
+            return q
+        raise ValueError("expected SELECT / ASK / CONSTRUCT "
+                         "(UPDATE analog: operators.store.apply_update)")
+
+    def _where_group(self) -> Group:
+        self._kw("WHERE")
+        return self._group(None)
+
+    def _select(self) -> dict:
+        q: dict = {"form": "select", "distinct": self._kw("DISTINCT"),
+                   "proj": []}
+        while True:
+            if self._at("op", "*"):
+                self.i += 1
+                q["proj"].append(("star",))
+            elif self._at("var"):
+                q["proj"].append(("plain", self._next()[1][1:]))
+            elif self._at("op", "("):
+                self.i += 1
+                e = self._agg_or_expr()
+                if not self._kw("AS"):
+                    raise ValueError("projection expression needs AS ?var")
+                var = self._expect("var")[1:]
+                self._expect("op", ")")
+                q["proj"].append(("expr", e, var))
+            else:
+                break
+        q["where"] = self._where_group()
+        q.update(self._modifiers())
+        return q
+
+    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT")
+
+    def _agg_or_expr(self):
+        kind, val = self._peek()
+        if kind == "word" and val.upper() in self._AGGS:
+            agg = val.upper()
+            self.i += 1
+            self._expect("op", "(")
+            distinct = self._kw("DISTINCT")
+            if self._at("op", "*"):
+                self.i += 1
+                arg = ("star",)
+            else:
+                arg = self._expr()
+            sep = " "
+            if self._at("op", ";"):
+                self.i += 1
+                if not (self._kw("SEPARATOR")):
+                    raise ValueError("expected SEPARATOR")
+                self._expect("op", "=")
+                sep = _unquote(self._expect("str"))
+            self._expect("op", ")")
+            return ("agg", agg, distinct, arg, sep)
+        return self._expr()
+
+    def _modifiers(self) -> dict:
+        out: dict = {"group_by": [], "order_by": [], "limit": None,
+                     "offset": None}
+        while True:
+            if self._kw("GROUP"):
+                if not self._kw("BY"):
+                    raise ValueError("expected BY after GROUP")
+                while self._at("var"):
+                    out["group_by"].append(self._next()[1][1:])
+            elif self._kw("ORDER"):
+                if not self._kw("BY"):
+                    raise ValueError("expected BY after ORDER")
+                while True:
+                    if self._kw("DESC"):
+                        self._expect("op", "(")
+                        out["order_by"].append((self._expr(), False))
+                        self._expect("op", ")")
+                    elif self._kw("ASC"):
+                        self._expect("op", "(")
+                        out["order_by"].append((self._expr(), True))
+                        self._expect("op", ")")
+                    elif self._at("var"):
+                        out["order_by"].append(
+                            (("var", self._next()[1][1:]), True))
+                    else:
+                        break
+            elif self._kw("LIMIT"):
+                out["limit"] = int(self._expect("num"))
+            elif self._kw("OFFSET"):
+                out["offset"] = int(self._expect("num"))
+            else:
+                break
+        if self._peek()[0] != "eof":
+            raise ValueError(f"trailing tokens at {self._peek()[1]!r}")
+        return out
+
+
+# -------------------------------------------------------------- compiler
+
+class SparqlEngine:
+    """Executes the SPARQL fragment against a triples DataFrame with
+    columns (subject, predicate, object[, obj_datatype, obj_lang,
+    graph]) — the shape every store/pipeline table in this engine
+    shares."""
+
+    def __init__(self, triples: DataFrame):
+        self.triples = triples
+        self.cols = set(triples.columns)
+
+    # -- public forms ---------------------------------------------------
+    def query(self, text: str) -> DataFrame:
+        """SELECT → DataFrame whose columns are the projected variables
+        (reference: sparql_query returns dict rows, kgraph.py:185-198)."""
+        q = _Parser(text).parse()
+        if q["form"] != "select":
+            raise ValueError(f"query() got a {q['form']} query")
+        return self._select(q)
+
+    def ask(self, text: str) -> bool:
+        """ASK → bool (kgraph.py:212-222)."""
+        q = _Parser(text).parse()
+        if q["form"] != "ask":
+            raise ValueError(f"ask() got a {q['form']} query")
+        df, _ = self._group(q["where"])
+        return df.limit(1).count() > 0
+
+    def construct(self, text: str) -> DataFrame:
+        """CONSTRUCT → (subject, predicate, object) triples
+        (kgraph.py:200-210); deduplicated — a graph is a set."""
+        q = _Parser(text).parse()
+        if q["form"] != "construct":
+            raise ValueError(f"construct() got a {q['form']} query")
+        df, bound = self._group(q["where"])
+        df = self._modifiers(df, q, bound)
+        parts = []
+        for s, p, o, _ in q["template"]:
+            def col(term):
+                if term[0] == "var":
+                    if term[1] not in bound:
+                        raise ValueError(f"unbound template var ?{term[1]}")
+                    return F.col(term[1])
+                if term[0] == "iri":
+                    return F.lit(term[1])
+                return F.lit(term[1])            # literal lexical form
+            parts.append(df.select(col(s).alias("subject"),
+                                   col(p).alias("predicate"),
+                                   col(o).alias("object")))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct()
+
+    # -- group graph pattern --------------------------------------------
+    def _scan(self, pat) -> tuple[DataFrame, set[str]]:
+        s, p, o, g = pat
+        df = self.triples
+        conds: list[Column] = []
+        proj: dict[str, Column] = {}
+
+        def bind(term, colname, literal_pos=False):
+            kind = term[0]
+            if kind == "var":
+                name = term[1]
+                if name in proj:
+                    conds.append(proj[name] == F.col(colname))
+                else:
+                    proj[name] = F.col(colname)
+            elif kind == "iri":
+                conds.append(F.col(colname) == term[1])
+            else:                                # typed/plain literal
+                _, lex, dt, lang = term
+                conds.append(F.col(colname) == lex)
+                if dt and "obj_datatype" in self.cols and literal_pos:
+                    conds.append(F.col("obj_datatype") == dt)
+                if lang and "obj_lang" in self.cols and literal_pos:
+                    conds.append(F.col("obj_lang") == lang)
+
+        bind(s, "subject")
+        bind(p, "predicate")
+        bind(o, "object", literal_pos=True)
+        if g is not None:
+            if "graph" not in self.cols:
+                raise ValueError("GRAPH pattern over a table with no "
+                                 "graph column")
+            bind(g, "graph")
+        for c in conds:
+            df = df.where(c)
+        if proj:
+            return df.select(*[c.alias(n) for n, c in proj.items()]), \
+                set(proj)
+        # all-constant pattern: a 0/1-row existence relation
+        return df.select(F.lit(1).alias("__const")).limit(1), set()
+
+    def _join(self, left, lvars, right, rvars, how="inner"):
+        keys = sorted(lvars & rvars)
+        if left is None:
+            return right, set(rvars)
+        if not keys:
+            if how == "left":
+                return left.crossJoin(right), lvars | rvars
+            return left.crossJoin(right), lvars | rvars
+        return left.join(right, keys, how), lvars | rvars
+
+    def _group(self, g: Group) -> tuple[DataFrame, set[str]]:
+        df, bound = None, set()
+        for pat in g.patterns:
+            scan, vars_ = self._scan(pat)
+            df, bound = self._join(df, bound, scan, vars_)
+        for sub in g.subgroups:
+            sdf, svars = self._group(sub)
+            df, bound = self._join(df, bound, sdf, svars)
+        for arms in g.unions:
+            adfs = [self._group(a) for a in arms]
+            uvars = set().union(*[v for _, v in adfs])
+            parts = []
+            for adf, avars in adfs:
+                missing = sorted(uvars - avars)
+                parts.append(adf.select(
+                    "*", *[F.lit(None).cast("string").alias(m)
+                           for m in missing]))
+            udf = parts[0]
+            for p_ in parts[1:]:
+                udf = udf.unionByName(p_)
+            df, bound = self._join(df, bound, udf, uvars)
+        for opt in g.optionals:
+            odf, ovars = self._group(opt)
+            df, bound = self._join(df, bound, odf, ovars, how="left")
+        for expr, var in g.binds:
+            if df is None:
+                raise ValueError("BIND before any pattern")
+            if expr[0] == "func" and expr[1] == "IF" and \
+                    expr[2][0][0] == "exists":
+                df = self._bind_if_exists(df, bound, expr, var)
+            else:
+                df = df.withColumn(var, self._expr(expr, df, bound))
+            bound.add(var)
+        for flt in g.filters:
+            if flt[0] == "exists":
+                df = self._exists_join(df, bound, flt)
+            else:
+                df = df.where(self._expr(flt, df, bound))
+        if df is None:
+            raise ValueError("empty group pattern")
+        return df, bound
+
+    def _exists_join(self, df, bound, flt) -> DataFrame:
+        _, positive, sub = flt
+        sdf, svars = self._group(sub)
+        keys = sorted(bound & svars)
+        how = "left_semi" if positive else "left_anti"
+        if not keys:
+            # uncorrelated EXISTS: keep all or nothing
+            marker = sdf.limit(1)
+            return df.crossJoin(marker) if positive else \
+                df.join(marker.select(F.lit(1).alias("__e")),
+                        F.lit(True), "left_anti")
+        return df.join(sdf.select(*keys).distinct(), keys, how)
+
+    # -- expressions ----------------------------------------------------
+    def _expr(self, e, df, bound) -> Column:
+        kind = e[0]
+        if kind == "var":
+            if e[1] not in bound:
+                raise ValueError(f"unbound variable ?{e[1]} in expression")
+            return F.col(e[1])
+        if kind == "iri":
+            return F.lit(e[1])
+        if kind == "lit":
+            return F.lit(e[1])
+        if kind == "and":
+            return self._expr(e[1], df, bound) & self._expr(e[2], df, bound)
+        if kind == "or":
+            return self._expr(e[1], df, bound) | self._expr(e[2], df, bound)
+        if kind == "not":
+            return ~self._expr(e[1], df, bound)
+        if kind == "cmp":
+            op, a, b = e[1], e[2], e[3]
+            numeric = (a[0] == "lit" and a[2] in _NUMERIC_DTS) or \
+                      (b[0] == "lit" and b[2] in _NUMERIC_DTS)
+            ca, cb = self._expr(a, df, bound), self._expr(b, df, bound)
+            if numeric:
+                ca = ca.try_cast("double")
+                cb = cb.try_cast("double")
+            return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
+                    ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb}[op]
+        if kind == "in":
+            target = self._expr(e[1], df, bound)
+            cond = F.lit(False)
+            for x in e[2]:
+                cond = cond | (target == self._expr(x, df, bound))
+            return cond
+        if kind == "exists":
+            raise ValueError("EXISTS as a bare value expression is only "
+                             "supported in FILTER position or inside "
+                             "IF(EXISTS{...}, ..., ...)")
+        if kind == "func":
+            name, args = e[1], e[2]
+            cargs = [self._expr(a, df, bound) for a in args]
+            if name == "CONTAINS":
+                return cargs[0].contains(cargs[1])
+            if name == "STRSTARTS":
+                return cargs[0].startswith(cargs[1])
+            if name == "STRLEN":
+                return F.length(cargs[0])
+            if name == "LCASE":
+                return F.lower(cargs[0])
+            if name == "UCASE":
+                return F.upper(cargs[0])
+            if name == "STR":
+                return cargs[0]                  # strings all the way down
+            if name == "BOUND":
+                return cargs[0].isNotNull()
+            if name == "REGEX":
+                pat = e[2][1]
+                if pat[0] != "lit":
+                    raise ValueError("REGEX pattern must be a literal")
+                rx = pat[1]
+                if len(e[2]) == 3:
+                    flags = e[2][2]
+                    if flags[0] == "lit" and "i" in flags[1]:
+                        rx = "(?i)" + rx
+                return cargs[0].rlike(rx)
+            if name == "IF":
+                return F.when(cargs[0], cargs[1]).otherwise(cargs[2])
+        raise ValueError(f"unsupported expression {e!r}")
+
+    def _bind_if_exists(self, df, bound, expr, var) -> DataFrame:
+        """``BIND(IF(EXISTS{...}, t, f) AS ?v)`` per-row: left-join a
+        distinct marker on the shared variables (must be correlated),
+        then flag → t/f.  One extra join, no per-row subquery."""
+        args = expr[2]
+        _, positive, sub = args[0]
+        sdf, svars = self._group(sub)
+        keys = sorted(bound & svars)
+        if not keys:
+            raise ValueError("IF(EXISTS{...}) must share a variable with "
+                             "the outer pattern")
+        marker = sdf.select(*keys).distinct().withColumn(
+            "__exists", F.lit(1))
+        joined = df.join(marker, keys, "left")
+        flag = F.col("__exists").isNotNull()
+        if not positive:
+            flag = ~flag
+        t = self._expr(args[1], joined, bound)
+        f_ = self._expr(args[2], joined, bound)
+        return joined.withColumn(var, F.when(flag, t).otherwise(f_)) \
+            .drop("__exists")
+
+    # -- SELECT assembly -------------------------------------------------
+    def _select(self, q) -> DataFrame:
+        df, bound = self._group(q["where"])
+        proj = q["proj"]
+        has_agg = any(p[0] == "expr" and p[1][0] == "agg" for p in proj)
+        if has_agg or q["group_by"]:
+            gb = q["group_by"]
+            aggs, names = [], []
+            for p in proj:
+                if p[0] == "plain":
+                    if p[1] not in gb:
+                        raise ValueError(
+                            f"?{p[1]} must appear in GROUP BY")
+                elif p[0] == "expr":
+                    aggs.append(self._agg(p[1], df, bound).alias(p[2]))
+                    names.append(p[2])
+                else:
+                    raise ValueError("SELECT * cannot mix with aggregates")
+            plain = [p[1] for p in proj if p[0] == "plain"]
+            out = (df.groupBy(*gb) if gb else df.groupBy()).agg(*aggs)
+            out = out.select(*(plain + names)) if plain or names else out
+        else:
+            cols = []
+            for p in proj:
+                if p[0] == "star":
+                    cols.extend(sorted(bound))
+                elif p[0] == "plain":
+                    if p[1] not in bound:
+                        raise ValueError(f"?{p[1]} is not bound")
+                    cols.append(p[1])
+                else:
+                    df = df.withColumn(p[2], self._expr(p[1], df, bound))
+                    bound.add(p[2])
+                    cols.append(p[2])
+            out = df.select(*cols) if cols else df
+            bound = set(cols) | bound
+        if q["distinct"]:
+            out = out.distinct()
+        return self._modifiers(out, q, set(out.columns))
+
+    def _agg(self, a, df, bound) -> Column:
+        _, name, distinct, arg, sep = a
+        if name == "COUNT":
+            if arg == ("star",):
+                return F.count(F.lit(1))
+            c = self._expr(arg, df, bound)
+            return F.count_distinct(c) if distinct else F.count(c)
+        c = self._expr(arg, df, bound)
+        if name == "GROUP_CONCAT":
+            base = F.array_sort(F.collect_set(c) if distinct
+                                else F.collect_list(c))
+            return F.array_join(base, sep)
+        c = c.try_cast("double")
+        return {"SUM": F.sum(c), "MIN": F.min(c), "MAX": F.max(c),
+                "AVG": F.avg(c)}[name]
+
+    def _modifiers(self, df, q, bound) -> DataFrame:
+        if q.get("order_by"):
+            keys = []
+            for expr, asc in q["order_by"]:
+                c = self._expr(expr, df, bound)
+                keys.append(c.asc() if asc else c.desc())
+            df = df.orderBy(*keys)
+        if q.get("offset"):
+            df = df.offset(q["offset"])
+        if q.get("limit") is not None:
+            df = df.limit(q["limit"])
+        return df

@@ -1,0 +1,312 @@
+"""SPARQL front-end (sparql.py) — the reference's own query strings
+(wordnet_batch_load_test.py:95-313 battery, docs/sparql-examples.md
+constructs) compiled to DataFrame plans, checked against independently
+computed expectations and against the pipeline's materialized tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraphmemory_spark.sparql import SparqlEngine
+
+KG = "http://vital.ai/ontology/haley-ai-kg#"
+VC = "http://vital.ai/ontology/vital-core#"
+RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+P = ("PREFIX kg: <http://vital.ai/ontology/haley-ai-kg#>\n"
+     "PREFIX vital-core: <http://vital.ai/ontology/vital-core#>\n")
+
+SCHEMA = ("subject string, predicate string, object string, "
+          "obj_datatype string, obj_lang string, graph string")
+
+
+def _rows():
+    rows = []
+    for i in (1, 2):
+        f = f"urn:frame{i}"
+        ftype = "urn:Edge_WordnetHyponym" if i == 1 else "urn:Edge_Other"
+        rows += [(f, RT, KG + "KGFrame", None, None, "g"),
+                 (f, KG + "hasKGFrameType", ftype, None, None, "g")]
+        for role, ent in (("Source", f"urn:ent{i}a"),
+                          ("Destination", f"urn:ent{i}b")):
+            e, sl = f"urn:edge{i}{role}", f"urn:slot{i}{role}"
+            rows += [(e, RT, KG + "Edge_hasKGSlot", None, None, "g"),
+                     (e, VC + "hasEdgeSource", f, None, None, "g"),
+                     (e, VC + "hasEdgeDestination", sl, None, None, "g"),
+                     (sl, RT, KG + "KGEntitySlot", None, None, "g"),
+                     (sl, KG + "hasKGSlotType", f"urn:has{role}Entity",
+                      None, None, "g"),
+                     (sl, KG + "hasEntitySlotValue", ent, None, None, "g")]
+    rows.append(("urn:frame1", KG + "hasKGFrameTypeDescription",
+                 "hyponym frames", None, None, "g"))
+    for i, (cls, content, ts) in enumerate([
+            ("KGChatUserMessage", "hello bot", "2024-01-01T10:00:00"),
+            ("KGChatBotMessage", "hello user", "2024-01-01T10:00:05"),
+            ("KGChatUserMessage", "what is Tech?", "2024-01-01T10:01:00")]):
+        m = f"urn:msg{i}"
+        rows += [(m, RT, KG + "KGChatMessage", None, None, "chat"),
+                 (m, RT, KG + cls, None, None, "chat"),
+                 (m, KG + "hasKGChatMessageContent", content, None, None,
+                  "chat"),
+                 (m, VC + "hasTimestamp", ts, XSD_DT, None, "chat")]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return SparqlEngine(spark.createDataFrame(_rows(), SCHEMA))
+
+
+# ------------------------- the WordNet battery (reference :95-313) ----
+
+def test_wordnet_battery_counts(eng):
+    q = eng.query("SELECT (COUNT(*) AS ?count) WHERE { ?s ?p ?o . }")
+    assert q.collect()[0]["count"] == len(_rows())
+    q = eng.query(P + "SELECT (COUNT(?frame) AS ?count) WHERE { "
+                      "?frame a kg:KGFrame . }")
+    assert q.collect()[0]["count"] == 2
+    q = eng.query(P + """SELECT (COUNT(?frame) AS ?count) WHERE {
+        ?frame a kg:KGFrame .
+        ?frame kg:hasKGFrameType <urn:Edge_WordnetHyponym> . }""")
+    assert q.collect()[0]["count"] == 1
+    q = eng.query(P + """SELECT (COUNT(DISTINCT ?entity) AS ?count) WHERE {
+        ?slot a kg:KGEntitySlot .
+        ?slot kg:hasEntitySlotValue ?entity . }""")
+    assert q.collect()[0]["count"] == 4
+
+
+def test_wordnet_optional_and_groupby(eng):
+    rows = eng.query(P + """SELECT ?frame ?frameType ?frameDescription
+        WHERE {
+            ?frame a kg:KGFrame .
+            ?frame kg:hasKGFrameType ?frameType .
+            OPTIONAL { ?frame kg:hasKGFrameTypeDescription
+                       ?frameDescription }
+        } LIMIT 5""").collect()
+    d = {r["frame"]: r["frameDescription"] for r in rows}
+    assert d == {"urn:frame1": "hyponym frames", "urn:frame2": None}
+    rows = eng.query(P + """SELECT ?slotType (COUNT(?slot) AS ?count)
+        WHERE { ?slot a kg:KGEntitySlot .
+                ?slot kg:hasKGSlotType ?slotType . }
+        GROUP BY ?slotType""").collect()
+    assert {(r["slotType"], r["count"]) for r in rows} == {
+        ("urn:hasSourceEntity", 2), ("urn:hasDestinationEntity", 2)}
+
+
+def test_wordnet_five_way_join_and_construct(eng):
+    rows = eng.query(P + """SELECT ?frame ?slot ?slotType ?entity WHERE {
+        ?frame a kg:KGFrame .
+        ?edge a kg:Edge_hasKGSlot .
+        ?edge vital-core:hasEdgeSource ?frame .
+        ?edge vital-core:hasEdgeDestination ?slot .
+        ?slot a kg:KGEntitySlot .
+        ?slot kg:hasKGSlotType ?slotType .
+        ?slot kg:hasEntitySlotValue ?entity . } LIMIT 10""").collect()
+    assert len(rows) == 4
+    got = eng.construct(P + """CONSTRUCT {
+            ?sourceEntity <urn:hyponymOf> ?destEntity .
+            ?frame <urn:connectsEntities> ?sourceEntity .
+            ?frame <urn:connectsEntities> ?destEntity . }
+        WHERE {
+            ?frame a kg:KGFrame .
+            ?frame kg:hasKGFrameType <urn:Edge_WordnetHyponym> .
+            ?sourceEdge a kg:Edge_hasKGSlot .
+            ?sourceEdge vital-core:hasEdgeSource ?frame .
+            ?sourceEdge vital-core:hasEdgeDestination ?sourceSlot .
+            ?sourceSlot a kg:KGEntitySlot .
+            ?sourceSlot kg:hasKGSlotType <urn:hasSourceEntity> .
+            ?sourceSlot kg:hasEntitySlotValue ?sourceEntity .
+            ?destEdge a kg:Edge_hasKGSlot .
+            ?destEdge vital-core:hasEdgeSource ?frame .
+            ?destEdge vital-core:hasEdgeDestination ?destSlot .
+            ?destSlot a kg:KGEntitySlot .
+            ?destSlot kg:hasKGSlotType <urn:hasDestinationEntity> .
+            ?destSlot kg:hasEntitySlotValue ?destEntity . }""")
+    assert {tuple(r) for r in got.collect()} == {
+        ("urn:ent1a", "urn:hyponymOf", "urn:ent1b"),
+        ("urn:frame1", "urn:connectsEntities", "urn:ent1a"),
+        ("urn:frame1", "urn:connectsEntities", "urn:ent1b")}
+
+
+# ------------------- docs/sparql-examples.md constructs ----------------
+
+def test_semicolon_abbreviation_and_order(eng):
+    rows = eng.query(P + """SELECT ?message ?content ?timestamp WHERE {
+        ?message a kg:KGChatMessage ;
+                 kg:hasKGChatMessageContent ?content ;
+                 vital-core:hasTimestamp ?timestamp .
+    } ORDER BY ?timestamp""").collect()
+    assert [r["message"] for r in rows] == ["urn:msg0", "urn:msg1",
+                                            "urn:msg2"]
+
+
+def test_union_with_bind(eng):
+    rows = eng.query(P + """SELECT ?message ?content ?messageType WHERE {
+        { ?message a kg:KGChatUserMessage ;
+                   kg:hasKGChatMessageContent ?content .
+          BIND("user" AS ?messageType) }
+        UNION
+        { ?message a kg:KGChatBotMessage ;
+                   kg:hasKGChatMessageContent ?content .
+          BIND("bot" AS ?messageType) }
+    }""").collect()
+    assert {(r["message"], r["messageType"]) for r in rows} == {
+        ("urn:msg0", "user"), ("urn:msg1", "bot"), ("urn:msg2", "user")}
+
+
+def test_bind_if_exists(eng):
+    got = eng.construct(P + """CONSTRUCT {
+            ?message kg:hasSimpleType ?simpleType . }
+        WHERE {
+            ?message a kg:KGChatMessage ;
+                     kg:hasKGChatMessageContent ?content .
+            BIND(IF(EXISTS{?message a kg:KGChatUserMessage},
+                    "user", "bot") AS ?simpleType) }""").collect()
+    assert {(r["subject"], r["object"]) for r in got} == {
+        ("urn:msg0", "user"), ("urn:msg1", "bot"), ("urn:msg2", "user")}
+
+
+def test_filter_battery(eng):
+    q = P + """SELECT ?a ?b WHERE {
+        ?a a kg:KGFrame . ?b a kg:KGFrame . FILTER(?a != ?b) }"""
+    assert eng.query(q).count() == 2
+    rows = eng.query(P + """SELECT ?m WHERE {
+        ?m vital-core:hasTimestamp ?t .
+        FILTER(?t >= "2024-01-01T10:00:05"^^<%s> &&
+               ?t < "2024-01-01T11:00:00"^^<%s>) }"""
+        % (XSD_DT, XSD_DT)).collect()
+    assert sorted(r["m"] for r in rows) == ["urn:msg1", "urn:msg2"]
+    rows = eng.query(P + """SELECT ?c WHERE {
+        ?m kg:hasKGChatMessageContent ?c .
+        FILTER(CONTAINS(LCASE(?c), "tech") || STRSTARTS(?c, "hello bo"))
+        }""").collect()
+    assert sorted(r["c"] for r in rows) == ["hello bot", "what is Tech?"]
+    rows = eng.query(P + """SELECT ?c WHERE {
+        ?m kg:hasKGChatMessageContent ?c . FILTER(STRLEN(?c) > 9) }
+        """).collect()
+    assert sorted(r["c"] for r in rows) == ["hello user", "what is Tech?"]
+    rows = eng.query(P + """SELECT ?m WHERE {
+        ?m a kg:KGChatMessage .
+        FILTER NOT EXISTS { ?m a kg:KGChatBotMessage } }""").collect()
+    assert sorted(r["m"] for r in rows) == ["urn:msg0", "urn:msg2"]
+    rows = eng.query(P + """SELECT ?m WHERE {
+        ?m kg:hasKGChatMessageContent ?c .
+        FILTER(?c IN ("hello bot", "nope")) }""").collect()
+    assert [r["m"] for r in rows] == ["urn:msg0"]
+    rows = eng.query(P + """SELECT ?c WHERE {
+        ?m kg:hasKGChatMessageContent ?c .
+        FILTER(REGEX(?c, "^HELLO", "i")) }""").collect()
+    assert sorted(r["c"] for r in rows) == ["hello bot", "hello user"]
+
+
+def test_graph_pattern_and_numeric_compare(spark):
+    rows = [("urn:a", "urn:p", "5", "http://www.w3.org/2001/XMLSchema#integer",
+             None, "g1"),
+            ("urn:b", "urn:p", "40", "http://www.w3.org/2001/XMLSchema#integer",
+             None, "g2")]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    got = eng2.query("""SELECT ?s WHERE {
+        GRAPH <g2> { ?s <urn:p> ?v . } }""").collect()
+    assert [r["s"] for r in got] == ["urn:b"]
+    got = eng2.query("""SELECT ?s ?g WHERE {
+        GRAPH ?g { ?s <urn:p> ?v . } FILTER(?v > 7) }""").collect()
+    # numeric comparison: "5" > 7 is false, "40" > 7 true (lexical would
+    # invert both)
+    assert [(r["s"], r["g"]) for r in got] == [("urn:b", "g2")]
+
+
+def test_aggregates_and_modifiers(eng):
+    rows = eng.query(P + """SELECT ?type (COUNT(*) AS ?count) WHERE {
+        ?m a ?type . } GROUP BY ?type
+        ORDER BY DESC(?count) ?type LIMIT 2""").collect()
+    assert rows[0]["count"] >= rows[1]["count"]
+    r = eng.query(P + """SELECT (GROUP_CONCAT(DISTINCT ?c; SEPARATOR=" | ")
+        AS ?cs) WHERE { ?m kg:hasKGChatMessageContent ?c . }""").collect()
+    assert r[0]["cs"] == "hello bot | hello user | what is Tech?"
+    r = eng.query(P + """SELECT (MAX(?t) AS ?last) WHERE {
+        ?m vital-core:hasTimestamp ?t . }""").collect()
+    # MAX over non-numeric strings: try_cast null — documented numeric
+    # aggregate domain; use ORDER BY DESC LIMIT 1 for lexical max
+    offs = eng.query(P + """SELECT ?m WHERE {
+        ?m a kg:KGChatMessage . } ORDER BY ?m LIMIT 2 OFFSET 1""").collect()
+    assert [x["m"] for x in offs] == ["urn:msg1", "urn:msg2"]
+
+
+def test_ask(eng):
+    assert eng.ask(P + "ASK { ?f a kg:KGFrame }")
+    assert not eng.ask("ASK { <urn:nope> ?p ?o }")
+    assert eng.ask(P + """ASK { ?f a kg:KGFrame .
+        FILTER EXISTS { ?f kg:hasKGFrameTypeDescription ?d } }""")
+
+
+def test_unsupported_constructs_raise(eng):
+    with pytest.raises(ValueError):
+        eng.query("SELECT ?s WHERE { VALUES ?s { <urn:a> } ?s ?p ?o }")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        eng.query("SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > NOW()) }")
+    with pytest.raises(ValueError):
+        eng.query("SELECT ?s WHERE { ?s <urn:a>/<urn:b> ?o }")
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        eng.query("SELECT ?s WHERE { ?s kg:x ?o }")
+    with pytest.raises(ValueError, match="sparql_query|form|query"):
+        eng.query(P + "ASK { ?s ?p ?o }")
+
+
+# ----------------- against the pipeline's materialized graph ----------
+
+def test_engine_over_pipeline_triples(spark):
+    """The front-end agrees with direct DataFrame algebra on the real
+    materialized triple table (same relation both ways)."""
+    from kgraphmemory_spark import datagen
+    from kgraphmemory_spark.pipeline import run_pipeline
+    from kgraphmemory_spark.semantics import (
+        EDGE_DESTINATION,
+        EDGE_SOURCE,
+        HAS_NAME,
+        RDF_TYPE,
+    )
+
+    rows = datagen.generate_pages_rows(30, seed=11)
+    kg = run_pipeline(spark, spark.createDataFrame(
+        rows, schema=datagen.PAGE_SCHEMA))
+    eng = SparqlEngine(kg.triples)
+
+    # entity degree: reified frames, source or destination — UNION query
+    q = eng.query(f"""SELECT ?entity (COUNT(*) AS ?deg) WHERE {{
+        {{ ?frame <{EDGE_SOURCE}> ?entity . }}
+        UNION
+        {{ ?frame <{EDGE_DESTINATION}> ?entity . }}
+    }} GROUP BY ?entity ORDER BY DESC(?deg) ?entity""")
+    twin = (
+        kg.triples.where(F.col("predicate").isin([EDGE_SOURCE,
+                                                  EDGE_DESTINATION]))
+        .groupBy(F.col("object").alias("entity"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    assert {tuple(r) for r in q.collect()} == \
+        {tuple(r) for r in twin.collect()}
+
+    # frame reconstruct as CONSTRUCT with a variable predicate template
+    got = eng.construct(f"""CONSTRUCT {{ ?src ?ftype ?dst . }} WHERE {{
+        ?frame a ?ftype .
+        ?frame <{EDGE_SOURCE}> ?src .
+        ?frame <{EDGE_DESTINATION}> ?dst .
+        FILTER(STRSTARTS(?ftype, "urn:frame:")) }}""")
+    twin2 = (
+        kg.triples.where(F.col("predicate") == RDF_TYPE)
+        .where(F.col("object").startswith("urn:frame:"))
+        .select(F.col("subject").alias("f"), F.col("object").alias("ftype"))
+        .join(kg.triples.where(F.col("predicate") == EDGE_SOURCE)
+              .select(F.col("subject").alias("f"),
+                      F.col("object").alias("src")), "f")
+        .join(kg.triples.where(F.col("predicate") == EDGE_DESTINATION)
+              .select(F.col("subject").alias("f"),
+                      F.col("object").alias("dst")), "f")
+        .select("src", "ftype", "dst").distinct()
+    )
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in twin2.collect()}
+
+    # names exist for every entity mentioned by a frame (ASK + semi)
+    assert eng.ask(f"""ASK {{ ?f <{EDGE_SOURCE}> ?e .
+                           ?e <{HAS_NAME}> ?n . }}""")
