@@ -125,6 +125,12 @@ def _headline(spark) -> tuple[dict, dict]:
                 lambda: serialize_rdf(triples_long, "turtle").count())
     extra["serialized_turtle_blocks"] = n_ser
 
+    # -- SPARQL front-end (sparql.py): the raw CONSTRUCT string over the
+    #    full triple table — parser+compiler overhead plus the 3-pattern
+    #    self-join plan Catalyst gets to reorder
+    run("sparql_construct_full",
+        lambda: Q.QUERIES["sparql_frame_construct"](spark, SF_DIR).count())
+
     # -- dedup fast path over the FULL corpus (xxhash64, explode+hash-agg;
     #    the production shape — d3/d4 above are the bounded oracle-gated
     #    md5 variants) ---------------------------------------------------

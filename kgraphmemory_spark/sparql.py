@@ -576,7 +576,9 @@ class SparqlEngine:
             return right, set(rvars)
         if not keys:
             if how == "left":
-                return left.crossJoin(right), lvars | rvars
+                # disjoint OPTIONAL: keep left rows even when the right
+                # side is empty (a crossJoin would drop them)
+                return left.join(right, F.lit(True), "left"), lvars | rvars
             return left.crossJoin(right), lvars | rvars
         return left.join(right, keys, how), lvars | rvars
 

@@ -310,3 +310,13 @@ def test_engine_over_pipeline_triples(spark):
     # names exist for every entity mentioned by a frame (ASK + semi)
     assert eng.ask(f"""ASK {{ ?f <{EDGE_SOURCE}> ?e .
                            ?e <{HAS_NAME}> ?n . }}""")
+
+
+def test_disjoint_optional_keeps_left_rows(eng):
+    """OPTIONAL with no shared variables must not drop solutions even
+    when its pattern is empty."""
+    rows = eng.query(P + """SELECT ?f ?x WHERE {
+        ?f a kg:KGFrame .
+        OPTIONAL { <urn:nothing> <urn:never> ?x } }""").collect()
+    assert sorted(r["f"] for r in rows) == ["urn:frame1", "urn:frame2"]
+    assert all(r["x"] is None for r in rows)
