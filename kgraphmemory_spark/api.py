@@ -176,6 +176,13 @@ class KGraphView:
         (kgraph.py:200-210)."""
         return self._sparql().construct(query)
 
+    def sparql_update(self, update: str) -> DataFrame:
+        """SPARQL UPDATE (kgraph_rdf_db.py:342-357) as a pure transform:
+        returns the NEW triples table (the reference mutates its
+        embedded store and returns bool; here the caller commits the
+        result through the snapshot catalog)."""
+        return self._sparql().update(update)
+
     # -- serialization --------------------------------------------------
 
     def serialize(self, fmt: str = "turtle",

@@ -39,8 +39,12 @@ Documented deviations (all on the engine's string data model):
 - a typed object literal matches on lexical form, plus datatype when
   the table carries ``obj_datatype``;
 - ``CONSTRUCT`` returns the deduplicated triple set (a graph is a set);
-- ``SPARQL UPDATE`` is not parsed here — the update analog is
-  ``operators.store.apply_update`` (S8).
+- ``SPARQL UPDATE`` (``INSERT DATA`` / ``DELETE DATA`` /
+  ``DELETE WHERE`` / ``DELETE {} INSERT {} WHERE {}``) is a pure
+  transform: ``update`` returns the NEW triples DataFrame instead of
+  mutating in place (commit it through the snapshot catalog); a quad
+  with no GRAPH term deletes across graphs / inserts with NULL graph,
+  the ``remove_triples`` convention.
 
 Not supported (raises): property paths, subqueries, VALUES, MINUS,
 SERVICE, NOW()/rand-style nondeterministic builtins, named-graph
@@ -383,7 +387,67 @@ class _Parser:
             q.update(self._modifiers())
             return q
         raise ValueError("expected SELECT / ASK / CONSTRUCT "
-                         "(UPDATE analog: operators.store.apply_update)")
+                         "(for updates call SparqlEngine.update)")
+
+    # -- update forms ---------------------------------------------------
+    def parse_update(self) -> list[tuple]:
+        """``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+        ``DELETE {} INSERT {} WHERE {}`` — pyoxigraph executes these via
+        ``store.update`` (reference sparql_update,
+        kgraph_rdf_db.py:342-357).  Operations may chain with ``;``."""
+        self._prologue()
+        ops: list[tuple] = []
+        while self._peek()[0] != "eof":
+            if self._kw("INSERT"):
+                if self._kw("DATA"):
+                    ops.append(("insert_data",
+                                self._ground_quads(self._group(None))))
+                else:
+                    raise ValueError("INSERT without DATA needs a "
+                                     "DELETE/WHERE form")
+            elif self._kw("DELETE"):
+                if self._kw("DATA"):
+                    ops.append(("delete_data",
+                                self._ground_quads(self._group(None))))
+                elif self._kw("WHERE"):
+                    g = self._group(None)
+                    ops.append(("modify", self._flat_patterns(g), [], g))
+                else:
+                    dtmpl = self._flat_patterns(self._group(None))
+                    itmpl = []
+                    if self._kw("INSERT"):
+                        itmpl = self._flat_patterns(self._group(None))
+                    if not self._kw("WHERE"):
+                        raise ValueError("DELETE {} [INSERT {}] needs WHERE")
+                    ops.append(("modify", dtmpl, itmpl, self._group(None)))
+            else:
+                raise ValueError(f"unexpected update token "
+                                 f"{self._peek()[1]!r}")
+            while self._at("op", ";"):
+                self.i += 1
+        if not ops:
+            raise ValueError("empty update request")
+        return ops
+
+    def _flat_patterns(self, g: Group) -> list:
+        """Group → flat (s, p, o, graph) list; only plain triples and
+        GRAPH blocks are allowed in templates / DATA blocks."""
+        if g.optionals or g.unions or g.filters or g.binds:
+            raise ValueError("only triples and GRAPH blocks are allowed "
+                             "in DATA blocks / update templates")
+        out = list(g.patterns)
+        for sub in g.subgroups:
+            out.extend(self._flat_patterns(sub))
+        return out
+
+    def _ground_quads(self, g: Group) -> list:
+        quads = self._flat_patterns(g)
+        for s, p, o, gr in quads:
+            for t in (s, p, o) + ((gr,) if gr else ()):
+                if t[0] == "var":
+                    raise ValueError(f"?{t[1]} in a DATA block — DATA "
+                                     "requires ground triples")
+        return quads
 
     def _where_group(self) -> Group:
         self._kw("WHERE")
@@ -528,6 +592,111 @@ class SparqlEngine:
         for p_ in parts[1:]:
             out = out.unionByName(p_)
         return out.distinct()
+
+    # -- update ---------------------------------------------------------
+    def update(self, text: str) -> DataFrame:
+        """SPARQL UPDATE (INSERT DATA / DELETE DATA / DELETE WHERE /
+        DELETE {} INSERT {} WHERE {}) → the NEW triples DataFrame — the
+        engine's tables are immutable transforms (reference mutates its
+        embedded store in place and returns bool,
+        kgraph_rdf_db.py:342-357; commit the returned table through the
+        snapshot catalog for the same effect).  A pattern/quad with no
+        GRAPH term matches/inserts with a NULL graph wildcard — the same
+        convention as operators.store.remove_triples."""
+        ops = _Parser(text).parse_update()
+        df = self.triples
+        for op in ops:
+            if op[0] == "insert_data":
+                df = df.unionByName(self._quad_df(op[1]),
+                                    allowMissingColumns=True)
+            elif op[0] == "delete_data":
+                df = self._anti(df, self._quad_df(op[1]))
+            else:                                # ("modify", del, ins, where)
+                _, dtmpl, itmpl, where = op
+                sols, bound = self._group(where)
+                if dtmpl:
+                    df = self._anti(df, self._instantiate(sols, bound,
+                                                          dtmpl))
+                if itmpl:
+                    df = df.unionByName(self._instantiate(sols, bound,
+                                                          itmpl),
+                                        allowMissingColumns=True)
+        return df
+
+    def _quad_df(self, quads: list) -> DataFrame:
+        spark = self.triples.sparkSession
+        rows = []
+        for s, p, o, g in quads:
+            dt = o[2] if o[0] == "lit" else None
+            lang = o[3] if o[0] == "lit" else None
+            rows.append((s[1], p[1], o[1], dt, lang,
+                         g[1] if g is not None else None))
+        df = spark.createDataFrame(
+            rows, "subject string, predicate string, object string, "
+                  "obj_datatype string, obj_lang string, graph string")
+        keep = [c for c in df.columns if c in self.cols]
+        return df.select(*keep)
+
+    def _instantiate(self, sols: DataFrame, bound: set, tmpl: list
+                     ) -> DataFrame:
+        parts = []
+        for s, p, o, g in tmpl:
+            def col(term):
+                if term is None:
+                    return F.lit(None).cast("string")
+                if term[0] == "var":
+                    if term[1] not in bound:
+                        raise ValueError(
+                            f"unbound template var ?{term[1]}")
+                    return F.col(term[1])
+                return F.lit(term[1])
+            sel = [col(s).alias("subject"), col(p).alias("predicate"),
+                   col(o).alias("object")]
+            if "obj_datatype" in self.cols:
+                sel.append(F.lit(o[2] if o[0] == "lit" else None)
+                           .cast("string").alias("obj_datatype"))
+            if "obj_lang" in self.cols:
+                sel.append(F.lit(o[3] if o[0] == "lit" else None)
+                           .cast("string").alias("obj_lang"))
+            if "graph" in self.cols:
+                sel.append(col(g).alias("graph"))
+            parts.append(sols.select(*sel))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct()
+
+    def _anti(self, df: DataFrame, dels: DataFrame) -> DataFrame:
+        """Remove every row of ``df`` matching a delete row.  Datatype /
+        lang compare null-safely (a plain-literal delete must match a
+        NULL datatype row, and must NOT match a typed one); a NULL graph
+        on the delete side is a wildcard matching any graph — the
+        remove_triples convention."""
+        eq_keys = [c for c in ("subject", "predicate", "object")
+                   if c in dels.columns]
+        ns_keys = [c for c in ("obj_datatype", "obj_lang")
+                   if c in self.cols and c in dels.columns]
+        has_graph = "graph" in self.cols and "graph" in dels.columns
+
+        def run(delset: DataFrame, with_graph: bool) -> DataFrame:
+            d = delset.distinct().alias("__d")
+            t = df.alias("__t")
+            cond = F.lit(True)
+            for c in eq_keys:
+                cond = cond & (F.col(f"__t.{c}") == F.col(f"__d.{c}"))
+            for c in ns_keys:
+                cond = cond & F.col(f"__t.{c}").eqNullSafe(
+                    F.col(f"__d.{c}"))
+            if with_graph:
+                cond = cond & (F.col("__t.graph") == F.col("__d.graph"))
+            return t.join(d, cond, "left_anti")
+
+        if has_graph:
+            wild = dels.where(F.col("graph").isNull()).drop("graph")
+            exact = dels.where(F.col("graph").isNotNull())
+            df = run(wild, with_graph=False)
+            return run(exact, with_graph=True)
+        return run(dels, with_graph=False)
 
     # -- group graph pattern --------------------------------------------
     def _scan(self, pat) -> tuple[DataFrame, set[str]]:

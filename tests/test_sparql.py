@@ -320,3 +320,58 @@ def test_disjoint_optional_keeps_left_rows(eng):
         OPTIONAL { <urn:nothing> <urn:never> ?x } }""").collect()
     assert sorted(r["f"] for r in rows) == ["urn:frame1", "urn:frame2"]
     assert all(r["x"] is None for r in rows)
+
+
+# ----------------------------- SPARQL UPDATE ---------------------------
+
+def test_update_insert_and_delete_data(spark):
+    rows = [("urn:a", "urn:p", "keep", None, None, "g1"),
+            ("urn:a", "urn:p", "5", "http://www.w3.org/2001/XMLSchema#integer",
+             None, "g1")]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    out = eng.update("""
+        INSERT DATA { <urn:b> <urn:q> "new" .
+                      GRAPH <g2> { <urn:c> <urn:q> <urn:d> } } ;
+        DELETE DATA { <urn:a> <urn:p> "keep" }""")
+    got = {(r["subject"], r["object"], r["graph"]) for r in out.collect()}
+    assert ("urn:b", "new", None) in got
+    assert ("urn:c", "urn:d", "g2") in got
+    assert ("urn:a", "keep", "g1") not in got
+    # the typed literal survived: plain-literal delete is null-safe on
+    # datatype, so it must NOT match "5"^^xsd:integer
+    assert ("urn:a", "5", "g1") in got
+    # ... and a typed delete removes exactly it
+    out2 = eng.update("""DELETE DATA { <urn:a> <urn:p>
+        "5"^^<http://www.w3.org/2001/XMLSchema#integer> }""")
+    assert [(r["subject"], r["object"]) for r in out2.collect()] == [
+        ("urn:a", "keep")]
+
+
+def test_update_delete_where_and_modify(spark):
+    rows = [("urn:e1", RT, KG + "KGEntity", None, None, "g"),
+            ("urn:e1", VC + "hasName", "Old", None, None, "g"),
+            ("urn:e2", RT, KG + "KGEntity", None, None, "g"),
+            ("urn:e2", VC + "hasName", "Other", None, None, "g")]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    # DELETE WHERE: drop every triple about ?s named "Old" — both
+    # patterns of the WHERE act as the delete template
+    out = eng.update(P + """DELETE WHERE {
+        ?s vital-core:hasName "Old" . ?s a kg:KGEntity . }""")
+    got = {(r["subject"], r["predicate"]) for r in out.collect()}
+    assert got == {("urn:e2", RT), ("urn:e2", VC + "hasName")}
+    # DELETE/INSERT/WHERE: rename — the reference's property-update idiom
+    out2 = eng.update(P + """
+        DELETE { ?s vital-core:hasName "Other" }
+        INSERT { ?s vital-core:hasName "Renamed" }
+        WHERE  { ?s vital-core:hasName "Other" . }""")
+    names = {(r["subject"], r["object"]) for r in out2.collect()
+             if r["predicate"] == VC + "hasName"}
+    assert ("urn:e2", "Renamed") in names
+    assert ("urn:e2", "Other") not in names
+
+
+def test_update_rejects_vars_in_data(spark):
+    eng = SparqlEngine(spark.createDataFrame(
+        [("urn:a", "urn:p", "x", None, None, None)], SCHEMA))
+    with pytest.raises(ValueError, match="ground"):
+        eng.update("INSERT DATA { <urn:a> <urn:p> ?v }")
