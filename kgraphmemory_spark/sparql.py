@@ -910,6 +910,11 @@ class SparqlEngine:
                         raise ValueError(
                             f"?{p[1]} must appear in GROUP BY")
                 elif p[0] == "expr":
+                    if p[1][0] != "agg":
+                        raise ValueError(
+                            "a projection expression alongside GROUP BY "
+                            "must be an aggregate (BIND the expression "
+                            "in the WHERE group instead)")
                     aggs.append(self._agg(p[1], df, bound).alias(p[2]))
                     names.append(p[2])
                 else:
