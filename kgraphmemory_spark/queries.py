@@ -1941,6 +1941,71 @@ def q_sparql_degree(spark, sf):
       }} GROUP BY ?entity ORDER BY DESC(?deg) ?entity LIMIT 50""")
 
 
+@register("sparql_minus_values", f"""
+  WITH t AS ({SQL_TRIPLES_LONG})
+  SELECT object AS entity, CAST(count(*) AS BIGINT) AS deg
+  FROM t
+  WHERE predicate IN (
+    'http://vital.ai/ontology/vital-core#hasEdgeSource',
+    'http://vital.ai/ontology/vital-core#hasEdgeDestination')
+    AND NOT EXISTS (
+      SELECT 1 FROM t p
+      WHERE p.predicate =
+        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        AND p.object = 'urn:kg:Phrase'
+        AND p.subject = t.object)
+  GROUP BY 1 ORDER BY deg DESC, entity
+""")
+def q_sparql_minus_values(spark, sf):
+    """Raw-SPARQL VALUES (inline data → broadcast join) + MINUS
+    (anti-join on the shared variable): edge degree of the non-Phrase
+    entities.  VALUES replaces the UNION of sparql_degree_topk's two
+    role patterns with one variable-predicate scan over an inline
+    predicate table; MINUS removes every entity typed urn:kg:Phrase."""
+    from .semantics import EDGE_DESTINATION, EDGE_SOURCE
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(kg_tables(spark, sf).triples)
+    return eng.query(f"""SELECT ?entity (COUNT(*) AS ?deg) WHERE {{
+        VALUES ?role {{ <{EDGE_SOURCE}> <{EDGE_DESTINATION}> }}
+        ?f ?role ?entity .
+        MINUS {{ ?entity a <urn:kg:Phrase> . }}
+      }} GROUP BY ?entity ORDER BY DESC(?deg) ?entity""")
+
+
+@register("sparql_path_reach", f"""
+  WITH t AS ({SQL_TRIPLES_LONG}),
+  hop AS (
+    SELECT s.object AS a, d.object AS b
+    FROM t s JOIN t d ON s.subject = d.subject
+    WHERE s.predicate =
+          'http://vital.ai/ontology/vital-core#hasEdgeSource'
+      AND d.predicate =
+          'http://vital.ai/ontology/vital-core#hasEdgeDestination'),
+  reach AS (
+    WITH RECURSIVE r(a, b) AS (
+      SELECT DISTINCT a, b FROM hop
+      UNION
+      SELECT r.a, h.b FROM r JOIN hop h ON r.b = h.a)
+    SELECT a, b FROM r)
+  SELECT a, b FROM reach ORDER BY a, b
+""")
+def q_sparql_path_reach(spark, sf):
+    """Raw-SPARQL property-path CLOSURE: entity-to-entity reachability
+    through the reified relation frames —
+    ``(^hasEdgeSource/hasEdgeDestination)+`` composes the inverse source
+    leg with the destination leg into one hop, and ``+`` runs the
+    distributed frontier-expansion transitive closure (sparql.py
+    ``_transitive_closure``).  The DuckDB twin closes the same hop
+    relation with a recursive CTE."""
+    from .semantics import EDGE_DESTINATION, EDGE_SOURCE
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(kg_tables(spark, sf).triples)
+    return eng.query(
+        f"""SELECT ?a ?b WHERE {{
+            ?a (^<{EDGE_SOURCE}>/<{EDGE_DESTINATION}>)+ ?b .
+          }} ORDER BY ?a ?b""")
+
+
 # ===================== certification window curation ======================
 #
 # The driver's correctness gate certifies the FIRST 50 registry entries in
@@ -1956,14 +2021,18 @@ def q_sparql_degree(spark, sf):
 # certified p5/p10; d2/d3 vs the end-to-end d6; v1/v3 vs v2/v4/v5;
 # round 3: j3_multiway_topk and kg_entity_degree rotate below the fold in
 # favor of the raw-SPARQL twins of the same shapes — kg_frame_reconstruct
-# keeps the multiway-join family certified in DataFrame form).
+# keeps the multiway-join family certified in DataFrame form; late round 3:
+# sparql_degree_topk rotates below the fold (its UNION + GROUP BY shape
+# stays certified via u-family and agg-family rows) for sparql_path_reach,
+# the property-path transitive closure — a capability no other row
+# exercises).
 
 _CERTIFIED_WINDOW = [
     # the construction pipeline, stage by stage (north rule)
     "kg_docs_clean", "kg_mentions", "kg_raw_triples", "kg_linked",
     "kg_entities", "kg_relations", "kg_frame_reconstruct",
     "kg_triples_long", "kg_provenance", "kg_cooccurrence",
-    "kg_top_entities", "sparql_degree_topk", "kg_link_histogram", "kg_stats",
+    "kg_top_entities", "sparql_path_reach", "kg_link_histogram", "kg_stats",
     "kg_vector_texts", "kg_hybrid_search",
     # store CRUD (S1-S18)
     "s1_object_roundtrip", "s4_remove_cascade", "s9_nt_roundtrip",

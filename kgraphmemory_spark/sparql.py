@@ -12,17 +12,31 @@ tests) uses the fragment implemented here:
   ``*``, and ``(expr AS ?v)`` projections; aggregates ``COUNT(*)``,
   ``COUNT([DISTINCT] ?v)``, ``SUM/MIN/MAX/AVG(?v)``,
   ``GROUP_CONCAT(?v [; SEPARATOR "s"])``;
+- property paths (SPARQL 1.1 §9): sequence ``p1/p2`` (pairwise join),
+  alternative ``p1|p2`` (union), inverse ``^p`` (swap), grouping
+  ``(...)``, negated property sets ``!iri`` / ``!(iri|^iri|...)``
+  (predicate NOT-IN scan per arm), and ``p?`` / ``p+`` / ``p*`` — the
+  closures evaluate as a
+  distributed frontier-expansion transitive closure (per-round
+  localCheckpoint, O(diameter) rounds, work O(|closure|)); zero-length
+  arms range over all terms of the (graph-restricted) store per spec;
 - group graph patterns: basic triple patterns (``;`` / ``,``
   abbreviations, ``a``), ``OPTIONAL { }``, ``{ } UNION { }``,
-  ``FILTER(expr)``, ``BIND(expr AS ?v)``, ``GRAPH <g>/?g { }``,
-  nested groups;
+  ``MINUS { }`` (anti-join on the shared variables; removes nothing
+  when the domains are disjoint, per spec), ``VALUES`` inline data
+  (ground terms; compiled to a broadcast join), ``FILTER(expr)``,
+  ``BIND(expr AS ?v)``, ``GRAPH <g>/?g { }``, nested groups;
 - filter/bind expressions: comparisons (numeric literals compare
   numerically via try_cast, ISO dateTime strings lexically — the
   store's canonical form), ``&& || !``, ``IN``, ``CONTAINS``,
   ``STRSTARTS``, ``STRLEN``, ``LCASE``, ``UCASE``, ``STR``, ``REGEX``,
   ``BOUND``, ``IF``, ``EXISTS { }`` / ``NOT EXISTS { }``;
-- solution modifiers ``GROUP BY``, ``ORDER BY [ASC|DESC]``, ``LIMIT``,
-  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``.
+- solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
+  hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
+  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``;
+- subqueries ``{ SELECT ... }`` (SPARQL 1.1 §12): evaluated as an
+  independent plan (aggregates/modifiers included), joined to the
+  enclosing group on the projected variables.
 
 Compilation is Spark-first: each triple pattern is a filtered scan of
 the triples table projected to its variable columns; shared variables
@@ -46,9 +60,10 @@ Documented deviations (all on the engine's string data model):
   with no GRAPH term deletes across graphs / inserts with NULL graph,
   the ``remove_triples`` convention.
 
-Not supported (raises): property paths, subqueries, VALUES, MINUS,
-SERVICE, NOW()/rand-style nondeterministic builtins, named-graph
-management.
+Not supported (raises): paths inside ``GRAPH ?var`` or in
+CONSTRUCT/update templates, ``UNDEF`` rows in VALUES, UNION of a
+subquery block, SERVICE, NOW()/rand-style nondeterministic builtins,
+named-graph management.
 """
 
 from __future__ import annotations
@@ -76,7 +91,7 @@ _TOK = re.compile(
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-.%]*|:[\w\-.%]*)
     | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/+-])
+    | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/+?^|-])
     """,
     re.X,
 )
@@ -119,6 +134,9 @@ class Group:
     filters: list = field(default_factory=list)    # Expr
     binds: list = field(default_factory=list)      # (Expr, varname)
     subgroups: list = field(default_factory=list)  # Group (plain nesting)
+    minuses: list = field(default_factory=list)    # Group
+    values: list = field(default_factory=list)     # (varnames, rows)
+    subselects: list = field(default_factory=list)  # parsed SELECT dicts
 
 
 # Terms: ("var", name) | ("iri", value) | ("lit", lexical, dt, lang)
@@ -210,6 +228,101 @@ class _Parser:
             return ("lit", lex, None, None)
         raise ValueError(f"unexpected term {val!r}")
 
+    # -- property paths (SPARQL 1.1 §9) ---------------------------------
+    # Path AST nodes: ("seq", [p...]) ("alt", [p...]) ("inv", p)
+    # ("plus", p) ("star", p) ("opt", p); a trivial path stays a plain
+    # ("iri", v) / ("var", v) predicate term.
+
+    def _path(self):
+        arms = [self._path_seq()]
+        while self._at("op", "|"):
+            self.i += 1
+            arms.append(self._path_seq())
+        if len(arms) == 1:
+            return arms[0]
+        for a in arms:
+            self._path_no_var(a)
+        return ("alt", arms)
+
+    def _path_seq(self):
+        elts = [self._path_elt()]
+        while self._at("op", "/"):
+            self.i += 1
+            elts.append(self._path_elt())
+        if len(elts) == 1:
+            return elts[0]
+        for e in elts:
+            self._path_no_var(e)
+        return ("seq", elts)
+
+    def _path_elt(self):
+        inv = self._at("op", "^")
+        if inv:
+            self.i += 1
+        p = self._path_primary()
+        kind, val = self._peek()
+        if kind == "op" and val in ("*", "+", "?"):
+            self.i += 1
+            self._path_no_var(p)
+            p = ({"*": "star", "+": "plus", "?": "opt"}[val], p)
+        if inv:
+            self._path_no_var(p)
+            p = ("inv", p)
+        return p
+
+    def _path_primary(self):
+        if self._at("op", "("):
+            self.i += 1
+            p = self._path()
+            self._expect("op", ")")
+            return p
+        if self._at("op", "!"):
+            self.i += 1
+            return self._negated_property_set()
+        t = self._term()
+        if t[0] not in ("iri", "var"):
+            raise ValueError(f"invalid term in property path: {t!r}")
+        return t
+
+    def _negated_property_set(self):
+        """``!iri`` / ``!^iri`` / ``!(iri|^iri|...)`` → ("nps", fwd, inv):
+        the forward arm matches predicates ∉ fwd (present iff the set has
+        forward members), the inverse arm matches reversed predicates
+        ∉ inv (iff it has ^members) — SPARQL 1.1 §9.2."""
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def member():
+            is_inv = self._at("op", "^")
+            if is_inv:
+                self.i += 1
+            t = self._term()
+            if t[0] != "iri":
+                raise ValueError("negated property sets may only "
+                                 "contain IRIs")
+            (inv if is_inv else fwd).append(t[1])
+
+        if self._at("op", "("):
+            self.i += 1
+            member()
+            while self._at("op", "|"):
+                self.i += 1
+                member()
+            self._expect("op", ")")
+        else:
+            member()
+        return ("nps", fwd, inv)
+
+    def _path_no_var(self, p):
+        if p[0] == "var":
+            raise ValueError("variables cannot appear inside property "
+                             "paths")
+        if p[0] in ("alt", "seq"):
+            for q in p[1]:
+                self._path_no_var(q)
+        elif p[0] in ("inv", "plus", "star", "opt"):
+            self._path_no_var(p[1])
+
     # -- group graph pattern -------------------------------------------
     def _group(self, graph=None) -> Group:
         self._expect("op", "{")
@@ -227,9 +340,23 @@ class _Parser:
                 var = self._expect("var")[1:]
                 self._expect("op", ")")
                 g.binds.append((e, var))
+            elif self._kw("MINUS"):
+                g.minuses.append(self._group(graph))
+            elif self._kw("VALUES"):
+                g.values.append(self._values_block())
             elif self._kw("GRAPH"):
                 gterm = self._term()
                 g.subgroups.append(self._group(gterm))
+            elif self._at("op", "{") and self._peek(1)[0] == "word" \
+                    and self._peek(1)[1].upper() == "SELECT":
+                # subquery: { SELECT ... } — evaluated independently,
+                # joined on its projected variables (SPARQL 1.1 §12)
+                self.i += 2
+                g.subselects.append(self._select(sub=True))
+                self._expect("op", "}")
+                if self._kw("UNION"):
+                    raise ValueError("UNION of a subquery block is not "
+                                     "supported")
             elif self._at("op", "{"):
                 sub = self._group(graph)
                 if self._kw("UNION"):
@@ -245,6 +372,51 @@ class _Parser:
         self._expect("op", "}")
         return g
 
+    def _values_block(self) -> tuple[list[str], list[tuple]]:
+        """``VALUES ?v { t ... }`` / ``VALUES (?a ?b) { (ta tb) ... }`` —
+        ground IRI/literal terms only; ``UNDEF`` (row-wise wildcard
+        semantics) is not supported and raises."""
+        if self._at("var"):
+            names = [self._next()[1][1:]]
+            single = True
+        else:
+            self._expect("op", "(")
+            names = []
+            while self._at("var"):
+                names.append(self._next()[1][1:])
+            self._expect("op", ")")
+            single = False
+        if not names:
+            raise ValueError("VALUES needs at least one variable")
+        self._expect("op", "{")
+        rows: list[tuple] = []
+
+        def ground(t):
+            if t[0] == "var":
+                raise ValueError("variables cannot appear in VALUES data")
+            return t[1]
+
+        while not self._at("op", "}"):
+            if self._kw("UNDEF"):
+                raise ValueError("UNDEF in VALUES is not supported")
+            if single:
+                rows.append((ground(self._term()),))
+            else:
+                self._expect("op", "(")
+                row = []
+                while not self._at("op", ")"):
+                    if self._kw("UNDEF"):
+                        raise ValueError("UNDEF in VALUES is not supported")
+                    row.append(ground(self._term()))
+                self._expect("op", ")")
+                if len(row) != len(names):
+                    raise ValueError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+        self._expect("op", "}")
+        if not rows:
+            raise ValueError("empty VALUES block")
+        return names, rows
+
     def _kw_dot_opt(self):
         while self._at("op", "."):
             self.i += 1
@@ -252,7 +424,7 @@ class _Parser:
     def _triples_block(self, g: Group, graph):
         subj = self._term()
         while True:
-            pred = self._term()
+            pred = self._path()
             while True:
                 obj = self._term()
                 g.patterns.append((subj, pred, obj, graph))
@@ -341,6 +513,9 @@ class _Parser:
             return e
         if kind == "word":
             up = val.upper()
+            if up in self._AGGS and self._peek(1) == ("op", "("):
+                # aggregate call inside an expression (HAVING / ORDER BY)
+                return self._agg_or_expr()
             if up == "EXISTS":
                 self.i += 1
                 return ("exists", True, self._group(None))
@@ -382,6 +557,10 @@ class _Parser:
             self._expect("op", "}")
             if not self._kw("WHERE"):
                 raise ValueError("CONSTRUCT needs WHERE")
+            for _s, _p, _o, _g in tmpl.patterns:
+                if _p[0] not in ("iri", "var"):
+                    raise ValueError("property paths are not allowed in "
+                                     "CONSTRUCT templates")
             q = {"form": "construct", "template": tmpl.patterns,
                  "where": self._group(None)}
             q.update(self._modifiers())
@@ -432,10 +611,15 @@ class _Parser:
     def _flat_patterns(self, g: Group) -> list:
         """Group → flat (s, p, o, graph) list; only plain triples and
         GRAPH blocks are allowed in templates / DATA blocks."""
-        if g.optionals or g.unions or g.filters or g.binds:
+        if (g.optionals or g.unions or g.filters or g.binds or g.minuses
+                or g.values or g.subselects):
             raise ValueError("only triples and GRAPH blocks are allowed "
                              "in DATA blocks / update templates")
         out = list(g.patterns)
+        for s, p, o, gr in out:
+            if p[0] not in ("iri", "var"):
+                raise ValueError("property paths are not allowed in "
+                                 "templates / DATA blocks")
         for sub in g.subgroups:
             out.extend(self._flat_patterns(sub))
         return out
@@ -453,7 +637,7 @@ class _Parser:
         self._kw("WHERE")
         return self._group(None)
 
-    def _select(self) -> dict:
+    def _select(self, sub: bool = False) -> dict:
         q: dict = {"form": "select", "distinct": self._kw("DISTINCT"),
                    "proj": []}
         while True:
@@ -473,7 +657,7 @@ class _Parser:
             else:
                 break
         q["where"] = self._where_group()
-        q.update(self._modifiers())
+        q.update(self._modifiers(sub=sub))
         return q
 
     _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT")
@@ -501,15 +685,23 @@ class _Parser:
             return ("agg", agg, distinct, arg, sep)
         return self._expr()
 
-    def _modifiers(self) -> dict:
+    def _modifiers(self, sub: bool = False) -> dict:
         out: dict = {"group_by": [], "order_by": [], "limit": None,
-                     "offset": None}
+                     "offset": None, "having": []}
         while True:
             if self._kw("GROUP"):
                 if not self._kw("BY"):
                     raise ValueError("expected BY after GROUP")
                 while self._at("var"):
                     out["group_by"].append(self._next()[1][1:])
+            elif self._kw("HAVING"):
+                if not self._at("op", "("):
+                    raise ValueError("HAVING needs a parenthesized "
+                                     "constraint")
+                while self._at("op", "("):
+                    self.i += 1
+                    out["having"].append(self._expr())
+                    self._expect("op", ")")
             elif self._kw("ORDER"):
                 if not self._kw("BY"):
                     raise ValueError("expected BY after ORDER")
@@ -533,6 +725,8 @@ class _Parser:
                 out["offset"] = int(self._expect("num"))
             else:
                 break
+        if sub:
+            return out                 # caller consumes the closing '}'
         if self._peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self._peek()[1]!r}")
         return out
@@ -699,8 +893,160 @@ class SparqlEngine:
         return run(dels, with_graph=False)
 
     # -- group graph pattern --------------------------------------------
+    # -- property-path evaluation ----------------------------------------
+
+    def _graph_triples(self, g) -> DataFrame:
+        df = self.triples
+        if g is not None:
+            if "graph" not in self.cols:
+                raise ValueError("GRAPH pattern over a table with no "
+                                 "graph column")
+            df = df.where(F.col("graph") == g[1])
+        return df
+
+    def _graph_nodes(self, g) -> DataFrame:
+        """All terms of the (graph-restricted) store — the zero-length
+        path domain (SPARQL 1.1 §9.3 ZeroOrMorePath/ZeroOrOnePath)."""
+        t = self._graph_triples(g)
+        return (t.select(F.explode(F.array("subject", "object")).alias("n"))
+                .where(F.col("n").isNotNull()).distinct())
+
+    def _identity_pairs(self, g) -> DataFrame:
+        return self._graph_nodes(g).select(F.col("n").alias("s"),
+                                           F.col("n").alias("o"))
+
+    def _path_pairs(self, p, g) -> DataFrame:
+        """Compile a path AST node to a DataFrame('s', 'o') of connected
+        term pairs.  seq = pairwise join, alt = union (bag semantics,
+        matching plain-BGP multiplicities), inv = swap; +/*/? return the
+        DISTINCT pair set, as the spec defines them via ALP."""
+        kind = p[0]
+        if kind == "iri":
+            return (self._graph_triples(g)
+                    .where(F.col("predicate") == p[1])
+                    .select(F.col("subject").alias("s"),
+                            F.col("object").alias("o")))
+        if kind == "inv":
+            return self._path_pairs(p[1], g).select(
+                F.col("o").alias("s"), F.col("s").alias("o"))
+        if kind == "alt":
+            out = None
+            for q in p[1]:
+                d = self._path_pairs(q, g)
+                out = d if out is None else out.unionByName(d)
+            return out
+        if kind == "seq":
+            out = None
+            for q in p[1]:
+                nxt = self._path_pairs(q, g)
+                if out is None:
+                    out = nxt
+                else:
+                    out = (out.alias("l").join(
+                               nxt.alias("r"),
+                               F.col("l.o") == F.col("r.s"))
+                           .select(F.col("l.s").alias("s"),
+                                   F.col("r.o").alias("o")))
+            return out
+        if kind == "opt":
+            return (self._path_pairs(p[1], g)
+                    .unionByName(self._identity_pairs(g)).distinct())
+        if kind in ("plus", "star"):
+            closure = self._transitive_closure(self._path_pairs(p[1], g))
+            if kind == "plus":
+                return closure
+            return closure.unionByName(self._identity_pairs(g)).distinct()
+        if kind == "nps":
+            fwd, inv = p[1], p[2]
+            t = self._graph_triples(g)
+            arms = []
+            if fwd:
+                arms.append(t.where(~F.col("predicate").isin(fwd))
+                            .select(F.col("subject").alias("s"),
+                                    F.col("object").alias("o")))
+            if inv:
+                arms.append(t.where(~F.col("predicate").isin(inv))
+                            .select(F.col("object").alias("s"),
+                                    F.col("subject").alias("o")))
+            out = arms[0]
+            for a in arms[1:]:
+                out = out.unionByName(a)
+            return out
+        raise ValueError(f"unsupported path element {p!r}")
+
+    @staticmethod
+    def _transitive_closure(base: DataFrame) -> DataFrame:
+        """Distinct-pair transitive closure by FRONTIER expansion: each
+        round joins only the pairs discovered last round against the base
+        edges, so total join work is O(|closure|) rather than
+        O(rounds × |closure|), and rounds = graph diameter.  Per-round
+        ``localCheckpoint`` truncates the growing lineage exactly like the
+        alternating-star loop in operators/cc.py; on a hierarchy-shaped
+        KG (type/subclass trees, the common ``+`` target) the frontier
+        shrinks geometrically."""
+        base = (base.where(F.col("s").isNotNull() & F.col("o").isNotNull())
+                .distinct().localCheckpoint(eager=True))
+        # constraint propagation must be off inside the loop: Spark's
+        # Union.rewriteConstraints hits "key not found: <attr>" when both
+        # union children descend (via checkpointed anti-joins) from the
+        # same base attributes — a planner bug this loop reliably
+        # triggers; the setting is restored on exit
+        spark = base.sparkSession
+        saved = spark.conf.get("spark.sql.constraintPropagation.enabled",
+                               "true")
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        try:
+            reach, frontier = base, base
+            while True:
+                new = (frontier.alias("f")
+                       .join(base.alias("b"), F.col("f.o") == F.col("b.s"))
+                       .select(F.col("f.s").alias("s"),
+                               F.col("b.o").alias("o"))
+                       .distinct()
+                       .join(reach, ["s", "o"], "left_anti")
+                       .localCheckpoint(eager=True))
+                if new.isEmpty():
+                    return reach
+                reach = reach.union(new).localCheckpoint(eager=True)
+                frontier = new
+        finally:
+            spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
+
+    def _scan_path(self, pat) -> tuple[DataFrame, set[str]]:
+        """Triple pattern whose predicate is a path: bind s/o against the
+        evaluated pair relation.  Object literals match on lexical form
+        (datatype/lang columns don't survive path algebra)."""
+        s, p, o, g = pat
+        if g is not None and g[0] == "var":
+            raise ValueError("property paths inside GRAPH ?var are not "
+                             "supported (bind the graph first)")
+        df = self._path_pairs(p, g)
+        conds: list[Column] = []
+        proj: dict[str, Column] = {}
+
+        def bind(term, colname):
+            if term[0] == "var":
+                name = term[1]
+                if name in proj:
+                    conds.append(proj[name] == F.col(colname))
+                else:
+                    proj[name] = F.col(colname)
+            else:
+                conds.append(F.col(colname) == term[1])
+
+        bind(s, "s")
+        bind(o, "o")
+        for c in conds:
+            df = df.where(c)
+        if proj:
+            return df.select(*[c.alias(n) for n, c in proj.items()]), \
+                set(proj)
+        return df.select(F.lit(1).alias("__const")).limit(1), set()
+
     def _scan(self, pat) -> tuple[DataFrame, set[str]]:
         s, p, o, g = pat
+        if p[0] not in ("var", "iri", "lit"):
+            return self._scan_path(pat)
         df = self.triples
         conds: list[Column] = []
         proj: dict[str, Column] = {}
@@ -759,6 +1105,9 @@ class SparqlEngine:
         for sub in g.subgroups:
             sdf, svars = self._group(sub)
             df, bound = self._join(df, bound, sdf, svars)
+        for sq in g.subselects:
+            sdf = self._select(sq)
+            df, bound = self._join(df, bound, sdf, set(sdf.columns))
         for arms in g.unions:
             adfs = [self._group(a) for a in arms]
             uvars = set().union(*[v for _, v in adfs])
@@ -772,9 +1121,19 @@ class SparqlEngine:
             for p_ in parts[1:]:
                 udf = udf.unionByName(p_)
             df, bound = self._join(df, bound, udf, uvars)
+        for names, rows in g.values:
+            # inline ground table — always tiny, so broadcast the join
+            vdf = F.broadcast(self.triples.sparkSession.createDataFrame(
+                rows, ", ".join(f"{n} string" for n in names)))
+            df, bound = self._join(df, bound, vdf, set(names))
         for opt in g.optionals:
             odf, ovars = self._group(opt)
             df, bound = self._join(df, bound, odf, ovars, how="left")
+        for m in g.minuses:
+            mdf, mvars = self._group(m)
+            keys = sorted(bound & mvars)
+            if keys:  # SPARQL MINUS with disjoint domains removes nothing
+                df = df.join(mdf.select(*keys).distinct(), keys, "left_anti")
         for expr, var in g.binds:
             if df is None:
                 raise ValueError("BIND before any pattern")
@@ -920,9 +1279,22 @@ class SparqlEngine:
                 else:
                     raise ValueError("SELECT * cannot mix with aggregates")
             plain = [p[1] for p in proj if p[0] == "plain"]
+            # HAVING: hoist each aggregate in the constraints into a
+            # hidden agg column, filter on it post-agg, then the final
+            # projection drops the hidden columns
+            hidden: list = []
+            having = [self._hoist_aggs(e, hidden)
+                      for e in (q.get("having") or [])]
+            aggs += [self._agg(a, df, bound).alias(nm) for nm, a in hidden]
             out = (df.groupBy(*gb) if gb else df.groupBy()).agg(*aggs)
+            hbound = set(gb) | set(names) | {nm for nm, _ in hidden}
+            for e in having:
+                out = out.where(self._expr(e, out, hbound))
             out = out.select(*(plain + names)) if plain or names else out
         else:
+            if q.get("having"):
+                raise ValueError("HAVING requires GROUP BY or an "
+                                 "aggregate projection")
             cols = []
             for p in proj:
                 if p[0] == "star":
@@ -940,6 +1312,31 @@ class SparqlEngine:
         if q["distinct"]:
             out = out.distinct()
         return self._modifiers(out, q, set(out.columns))
+
+    def _hoist_aggs(self, e, sink: list):
+        """Rewrite ("agg", ...) subtrees of a HAVING constraint to fresh
+        hidden-column var references, collecting (name, agg) into sink."""
+        if not isinstance(e, tuple):
+            return e
+        if e[0] == "agg":
+            nm = f"__hav{len(sink)}"
+            sink.append((nm, e))
+            return ("var", nm)
+        if e[0] in ("and", "or"):
+            return (e[0], self._hoist_aggs(e[1], sink),
+                    self._hoist_aggs(e[2], sink))
+        if e[0] == "not":
+            return ("not", self._hoist_aggs(e[1], sink))
+        if e[0] == "cmp":
+            return ("cmp", e[1], self._hoist_aggs(e[2], sink),
+                    self._hoist_aggs(e[3], sink))
+        if e[0] == "in":
+            return ("in", self._hoist_aggs(e[1], sink),
+                    [self._hoist_aggs(x, sink) for x in e[2]])
+        if e[0] == "func":
+            return ("func", e[1],
+                    [self._hoist_aggs(x, sink) for x in e[2]])
+        return e
 
     def _agg(self, a, df, bound) -> Column:
         _, name, distinct, arg, sep = a

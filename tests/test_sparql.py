@@ -239,13 +239,127 @@ def test_ask(eng):
         FILTER EXISTS { ?f kg:hasKGFrameTypeDescription ?d } }""")
 
 
+def test_values_inline_data(eng):
+    rows = eng.query(P + """SELECT ?frame ?ft WHERE {
+        VALUES ?ft { <urn:Edge_WordnetHyponym> <urn:Edge_Nope> }
+        ?frame kg:hasKGFrameType ?ft . }""").collect()
+    assert [(r["frame"], r["ft"]) for r in rows] == \
+        [("urn:frame1", "urn:Edge_WordnetHyponym")]
+    # multi-var form: (?var ?var) rows join as a unit
+    rows = eng.query(P + """SELECT ?frame WHERE {
+        VALUES (?frame ?ft) { (<urn:frame1> <urn:Edge_WordnetHyponym>)
+                              (<urn:frame2> <urn:Edge_WordnetHyponym>) }
+        ?frame kg:hasKGFrameType ?ft . }""").collect()
+    assert [r["frame"] for r in rows] == ["urn:frame1"]
+    with pytest.raises(ValueError, match="UNDEF"):
+        eng.query("SELECT ?s WHERE { VALUES ?s { UNDEF } ?s ?p ?o }")
+
+
+def test_minus(eng):
+    # frames that do NOT have the hyponym type — MINUS twin of j7
+    rows = eng.query(P + """SELECT ?frame WHERE {
+        ?frame a kg:KGFrame .
+        MINUS { ?frame kg:hasKGFrameType <urn:Edge_WordnetHyponym> . } }"""
+                     ).collect()
+    assert [r["frame"] for r in rows] == ["urn:frame2"]
+    # disjoint domains: MINUS removes nothing (SPARQL spec)
+    n = eng.query(P + """SELECT ?frame WHERE {
+        ?frame a kg:KGFrame .
+        MINUS { ?x kg:hasKGSlotType <urn:hasSourceEntity> . } }""").count()
+    assert n == 2
+
+
+def test_property_path_sequence_inverse_alternative(eng):
+    # frame → (inverse edge-source) edge → destination slot → entity value
+    rows = eng.query(P + """SELECT DISTINCT ?ent WHERE {
+        <urn:frame1> ^vital-core:hasEdgeSource/vital-core:hasEdgeDestination/kg:hasEntitySlotValue ?ent .
+      } ORDER BY ?ent""").collect()
+    assert [r["ent"] for r in rows] == ["urn:ent1a", "urn:ent1b"]
+    # alternative keeps bag multiplicity: 4 edges × 2 roles
+    n = eng.query(P + """SELECT ?x WHERE {
+        ?e vital-core:hasEdgeSource|vital-core:hasEdgeDestination ?x . }"""
+                  ).count()
+    assert n == 8
+
+
+def test_property_path_closures(spark):
+    sub = "urn:sub"
+    rows = [("urn:A", sub, "urn:B", None, None, "g"),
+            ("urn:B", sub, "urn:C", None, None, "g"),
+            ("urn:C", sub, "urn:D", None, None, "g"),
+            ("urn:X", sub, "urn:Y", None, None, "g")]
+    e2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    q = f"SELECT ?o WHERE {{ <urn:A> <{sub}>+ ?o }} ORDER BY ?o"
+    assert [r["o"] for r in e2.query(q).collect()] == \
+        ["urn:B", "urn:C", "urn:D"]
+    q = f"SELECT ?o WHERE {{ <urn:A> <{sub}>* ?o }} ORDER BY ?o"
+    assert [r["o"] for r in e2.query(q).collect()] == \
+        ["urn:A", "urn:B", "urn:C", "urn:D"]
+    q = f"SELECT ?o WHERE {{ <urn:A> <{sub}>? ?o }} ORDER BY ?o"
+    assert [r["o"] for r in e2.query(q).collect()] == ["urn:A", "urn:B"]
+    # grouped + reversed endpoints: every ancestor of D
+    q = f"SELECT ?s WHERE {{ ?s (<{sub}>)+ <urn:D> }} ORDER BY ?s"
+    assert [r["s"] for r in e2.query(q).collect()] == \
+        ["urn:A", "urn:B", "urn:C"]
+    # cycles terminate: 4-cycle closure = 16 ordered pairs (incl. self)
+    e3 = SparqlEngine(spark.createDataFrame(
+        rows + [("urn:D", sub, "urn:A", None, None, "g")], SCHEMA))
+    assert e3.query(f"SELECT ?s ?o WHERE {{ ?s <{sub}>+ ?o }}").count() == 17
+    # negated property sets: all predicates here are <urn:sub>
+    assert e2.query(
+        "SELECT ?s ?o WHERE { ?s !<urn:other> ?o }").count() == 4
+    assert e2.query(f"SELECT ?s ?o WHERE {{ ?s !<{sub}> ?o }}").count() == 0
+    got = e2.query(f"""SELECT ?s WHERE {{
+        ?s !(<{sub}>|^<urn:other>) <urn:A> }} ORDER BY ?s""").collect()
+    assert [r["s"] for r in got] == ["urn:B"]  # only the inverse arm fires
+
+
+def test_having(eng):
+    # slot types with more than one slot (each role type has 2 slots)
+    rows = eng.query(P + """SELECT ?st (COUNT(*) AS ?n) WHERE {
+        ?slot kg:hasKGSlotType ?st . }
+        GROUP BY ?st HAVING (COUNT(*) > 1) ORDER BY ?st""").collect()
+    assert [(r["st"], r["n"]) for r in rows] == \
+        [("urn:hasDestinationEntity", 2), ("urn:hasSourceEntity", 2)]
+    # constraint over a projected aggregate + a grouped var together
+    rows = eng.query(P + """SELECT ?st (COUNT(*) AS ?n) WHERE {
+        ?slot kg:hasKGSlotType ?st . }
+        GROUP BY ?st
+        HAVING (COUNT(*) > 1 && CONTAINS(?st, "Source"))""").collect()
+    assert [(r["st"], r["n"]) for r in rows] == [("urn:hasSourceEntity", 2)]
+    with pytest.raises(ValueError, match="HAVING"):
+        eng.query("SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")
+
+
+def test_subquery(eng):
+    # aggregate subquery joined to the outer pattern on ?frame
+    rows = eng.query(P + """SELECT ?frame ?cnt WHERE {
+        ?frame a kg:KGFrame .
+        { SELECT ?frame (COUNT(*) AS ?cnt) WHERE {
+            ?e vital-core:hasEdgeSource ?frame . } GROUP BY ?frame }
+      } ORDER BY ?frame""").collect()
+    assert [(r["frame"], r["cnt"]) for r in rows] == \
+        [("urn:frame1", 2), ("urn:frame2", 2)]
+    # LIMIT inside the subquery bounds the outer join
+    rows = eng.query(P + """SELECT ?frame ?ft WHERE {
+        { SELECT ?frame WHERE { ?frame a kg:KGFrame . }
+          ORDER BY ?frame LIMIT 1 }
+        ?frame kg:hasKGFrameType ?ft .
+      }""").collect()
+    assert [(r["frame"], r["ft"]) for r in rows] == \
+        [("urn:frame1", "urn:Edge_WordnetHyponym")]
+
+
 def test_unsupported_constructs_raise(eng):
-    with pytest.raises(ValueError):
-        eng.query("SELECT ?s WHERE { VALUES ?s { <urn:a> } ?s ?p ?o }")
     with pytest.raises(ValueError, match="nondeterministic"):
         eng.query("SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > NOW()) }")
-    with pytest.raises(ValueError):
-        eng.query("SELECT ?s WHERE { ?s <urn:a>/<urn:b> ?o }")
+    with pytest.raises(ValueError, match="IRIs"):
+        eng.query("SELECT ?s WHERE { ?s !(<urn:a>|?p) ?o }")
+    with pytest.raises(ValueError, match="paths"):
+        eng.query("CONSTRUCT { ?s <urn:a>/<urn:b> ?o } "
+                  "WHERE { ?s <urn:a> ?o }")
+    with pytest.raises(ValueError, match="property paths"):
+        eng.query("SELECT ?s WHERE { GRAPH ?g { ?s <urn:a>+ ?o } }")
     with pytest.raises(ValueError, match="undeclared prefix"):
         eng.query("SELECT ?s WHERE { ?s kg:x ?o }")
     with pytest.raises(ValueError, match="sparql_query|form|query"):
