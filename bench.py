@@ -14,6 +14,10 @@ local[$SPARK_GRAFT_CPUS]:
 - tpch_q1 / q3_topk   — heavy agg + multiway join on lineitem/orders
 - cosine_topk         — exact vector kNN scan
 - minhash_lsh         — near-dup candidate generation over documents
+- serialize_turtle_full / sparql_construct_full / sparql_path_reach —
+                        whole-graph Turtle emission; raw-SPARQL CONSTRUCT;
+                        property-path transitive closure (frontier
+                        expansion) over the materialized graph
 - cc_distributed_10m  — alternating-star CC forced distributed over a
                         synthetic ~10M-edge chains+hubs graph (rounds and
                         closed-form expected component count recorded)
