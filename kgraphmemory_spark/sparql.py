@@ -137,6 +137,13 @@ class Group:
     minuses: list = field(default_factory=list)    # Group
     values: list = field(default_factory=list)     # (varnames, rows)
     subselects: list = field(default_factory=list)  # parsed SELECT dicts
+    # evaluation order: ("pattern"|"optional"|"union"|"bind"|"subgroup"|
+    # "minus"|"values"|"subselect", payload) in textual order — SPARQL's
+    # group algebra is built left-to-right (Join/LeftJoin/Minus/Extend in
+    # sequence, §18.2.2.6), so a BIND binds its variable for everything
+    # AFTER it and an OPTIONAL left-joins what came BEFORE it.  FILTERs
+    # alone scope to the whole group and stay a separate end-applied list.
+    elements: list = field(default_factory=list)
 
 
 # Terms: ("var", name) | ("iri", value) | ("lit", lexical, dt, lang)
@@ -329,7 +336,9 @@ class _Parser:
         g = Group()
         while not self._at("op", "}"):
             if self._kw("OPTIONAL"):
-                g.optionals.append(self._group(graph))
+                opt = self._group(graph)
+                g.optionals.append(opt)
+                g.elements.append(("optional", opt))
             elif self._kw("FILTER"):
                 g.filters.append(self._bracketed_expr())
             elif self._kw("BIND"):
@@ -340,19 +349,28 @@ class _Parser:
                 var = self._expect("var")[1:]
                 self._expect("op", ")")
                 g.binds.append((e, var))
+                g.elements.append(("bind", (e, var)))
             elif self._kw("MINUS"):
-                g.minuses.append(self._group(graph))
+                m = self._group(graph)
+                g.minuses.append(m)
+                g.elements.append(("minus", m))
             elif self._kw("VALUES"):
-                g.values.append(self._values_block())
+                v = self._values_block()
+                g.values.append(v)
+                g.elements.append(("values", v))
             elif self._kw("GRAPH"):
                 gterm = self._term()
-                g.subgroups.append(self._group(gterm))
+                sub = self._group(gterm)
+                g.subgroups.append(sub)
+                g.elements.append(("subgroup", sub))
             elif self._at("op", "{") and self._peek(1)[0] == "word" \
                     and self._peek(1)[1].upper() == "SELECT":
                 # subquery: { SELECT ... } — evaluated independently,
                 # joined on its projected variables (SPARQL 1.1 §12)
                 self.i += 2
-                g.subselects.append(self._select(sub=True))
+                sq = self._select(sub=True)
+                g.subselects.append(sq)
+                g.elements.append(("subselect", sq))
                 self._expect("op", "}")
                 if self._kw("UNION"):
                     raise ValueError("UNION of a subquery block is not "
@@ -364,8 +382,10 @@ class _Parser:
                     while self._kw("UNION"):
                         arms.append(self._group(graph))
                     g.unions.append(arms)
+                    g.elements.append(("union", arms))
                 else:
                     g.subgroups.append(sub)
+                    g.elements.append(("subgroup", sub))
             else:
                 self._triples_block(g, graph)
             self._kw_dot_opt()
@@ -428,6 +448,7 @@ class _Parser:
             while True:
                 obj = self._term()
                 g.patterns.append((subj, pred, obj, graph))
+                g.elements.append(("pattern", (subj, pred, obj, graph)))
                 if self._at("op", ","):
                     self.i += 1
                     continue
@@ -1098,51 +1119,60 @@ class SparqlEngine:
         return left.join(right, keys, how), lvars | rvars
 
     def _group(self, g: Group) -> tuple[DataFrame, set[str]]:
+        """Build the group left-to-right, SPARQL algebra order
+        (§18.2.2.6): each element joins/extends what came before it, so
+        BIND-introduced variables become join keys for later OPTIONALs
+        and patterns.  FILTERs scope to the whole group → applied last."""
         df, bound = None, set()
-        for pat in g.patterns:
-            scan, vars_ = self._scan(pat)
-            df, bound = self._join(df, bound, scan, vars_)
-        for sub in g.subgroups:
-            sdf, svars = self._group(sub)
-            df, bound = self._join(df, bound, sdf, svars)
-        for sq in g.subselects:
-            sdf = self._select(sq)
-            df, bound = self._join(df, bound, sdf, set(sdf.columns))
-        for arms in g.unions:
-            adfs = [self._group(a) for a in arms]
-            uvars = set().union(*[v for _, v in adfs])
-            parts = []
-            for adf, avars in adfs:
-                missing = sorted(uvars - avars)
-                parts.append(adf.select(
-                    "*", *[F.lit(None).cast("string").alias(m)
-                           for m in missing]))
-            udf = parts[0]
-            for p_ in parts[1:]:
-                udf = udf.unionByName(p_)
-            df, bound = self._join(df, bound, udf, uvars)
-        for names, rows in g.values:
-            # inline ground table — always tiny, so broadcast the join
-            vdf = F.broadcast(self.triples.sparkSession.createDataFrame(
-                rows, ", ".join(f"{n} string" for n in names)))
-            df, bound = self._join(df, bound, vdf, set(names))
-        for opt in g.optionals:
-            odf, ovars = self._group(opt)
-            df, bound = self._join(df, bound, odf, ovars, how="left")
-        for m in g.minuses:
-            mdf, mvars = self._group(m)
-            keys = sorted(bound & mvars)
-            if keys:  # SPARQL MINUS with disjoint domains removes nothing
-                df = df.join(mdf.select(*keys).distinct(), keys, "left_anti")
-        for expr, var in g.binds:
-            if df is None:
-                raise ValueError("BIND before any pattern")
-            if expr[0] == "func" and expr[1] == "IF" and \
-                    expr[2][0][0] == "exists":
-                df = self._bind_if_exists(df, bound, expr, var)
-            else:
-                df = df.withColumn(var, self._expr(expr, df, bound))
-            bound.add(var)
+        for kind, payload in g.elements:
+            if kind == "pattern":
+                scan, vars_ = self._scan(payload)
+                df, bound = self._join(df, bound, scan, vars_)
+            elif kind == "subgroup":
+                sdf, svars = self._group(payload)
+                df, bound = self._join(df, bound, sdf, svars)
+            elif kind == "subselect":
+                sdf = self._select(payload)
+                df, bound = self._join(df, bound, sdf, set(sdf.columns))
+            elif kind == "union":
+                adfs = [self._group(a) for a in payload]
+                uvars = set().union(*[v for _, v in adfs])
+                parts = []
+                for adf, avars in adfs:
+                    missing = sorted(uvars - avars)
+                    parts.append(adf.select(
+                        "*", *[F.lit(None).cast("string").alias(m)
+                               for m in missing]))
+                udf = parts[0]
+                for p_ in parts[1:]:
+                    udf = udf.unionByName(p_)
+                df, bound = self._join(df, bound, udf, uvars)
+            elif kind == "values":
+                names, rows = payload
+                # inline ground table — always tiny, broadcast the join
+                vdf = F.broadcast(self.triples.sparkSession.createDataFrame(
+                    rows, ", ".join(f"{n} string" for n in names)))
+                df, bound = self._join(df, bound, vdf, set(names))
+            elif kind == "optional":
+                odf, ovars = self._group(payload)
+                df, bound = self._join(df, bound, odf, ovars, how="left")
+            elif kind == "minus":
+                mdf, mvars = self._group(payload)
+                keys = sorted(bound & mvars)
+                if keys:  # disjoint-domain MINUS removes nothing
+                    df = df.join(mdf.select(*keys).distinct(), keys,
+                                 "left_anti")
+            elif kind == "bind":
+                expr, var = payload
+                if df is None:
+                    # group starting with BIND: extend the unit relation
+                    df = self.triples.sparkSession.range(1).drop("id")
+                if expr[0] == "func" and expr[1] == "IF" and \
+                        expr[2][0][0] == "exists":
+                    df = self._bind_if_exists(df, bound, expr, var)
+                else:
+                    df = df.withColumn(var, self._expr(expr, df, bound))
+                bound.add(var)
         for flt in g.filters:
             if flt[0] == "exists":
                 df = self._exists_join(df, bound, flt)
