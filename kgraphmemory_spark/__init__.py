@@ -26,6 +26,11 @@ designed for 100 TB-scale corpora:
                     (entity-keyed, pruned point lookups)
 - ``streaming``   — Structured Streaming incremental ingest (foreachBatch)
 - ``queries``     — driver-facing registry (queries() / oracle_sql())
+- ``api``         — single-graph facade (KGraphView / ChatView)
+- ``memory``      — multi-graph manager (KGraphMemory: the reference's
+                    top-level entry class, one partitioned table for all
+                    graphs, cross-graph ops as single plans)
+- ``sparql``      — raw SPARQL strings compiled to DataFrame plans
 """
 
 __version__ = "0.1.0"

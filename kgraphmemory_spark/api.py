@@ -126,12 +126,22 @@ class KGraphView:
             self._vectors = build_vector_records(self.kg.entities)
         return self._vectors
 
-    def vector_search(self, query_text: str, limit: int = 10,
+    def vector_search(self, query_text: str | None = None, limit: int = 10,
                       vector_id: str | None = None,
                       filters: dict | None = None,
-                      score_threshold: float | None = None) -> DataFrame:
+                      score_threshold: float | None = None,
+                      query_vector: list[float] | None = None) -> DataFrame:
+        """vector_search / vector_search_by_type (kgraph.py:224-272);
+        pass ``query_vector`` for vector_search_by_vector
+        (kgraph.py:274-294)."""
         return _knn(self.vectors, query_text, k=limit, vector_id=vector_id,
-                    metadata_filters=filters, score_threshold=score_threshold)
+                    metadata_filters=filters, score_threshold=score_threshold,
+                    query_vector=query_vector)
+
+    def available_vector_types(self, uri: str) -> DataFrame:
+        """Vector ids stored for one object
+        (get_available_vector_types_for_object, kgraph.py:487-501)."""
+        return self.vectors.where(F.col("uri") == uri).select("vector_id")
 
     def hybrid_search(self, query_text: str, graph_candidates: DataFrame,
                       limit: int = 10,
@@ -209,8 +219,10 @@ class ChatView:
     578-586, kgraph_interaction_bridge.py:456-499) over the typed
     interaction/message tables built by ``operators.chat``."""
 
-    def __init__(self, events: DataFrame):
+    def __init__(self, events: DataFrame, documents: DataFrame | None = None):
         from .operators.chat import build_interactions, build_messages
+        self._events = events
+        self._documents = documents
         self.interactions = build_interactions(events)
         self.messages = build_messages(events)
 
@@ -227,6 +239,35 @@ class ChatView:
         from .operators.chat import recent_interactions
         return recent_interactions(self.interactions, n, interaction_type,
                                    start, end)
+
+    def interaction_context(self, interaction_uri: str,
+                            include_messages: bool = True,
+                            include_documents: bool = True,
+                            include_tasks: bool = True,
+                            include_tools: bool = True) -> dict:
+        """Comprehensive per-interaction context
+        (kgraph_bridge.py:128-137 ``get_interaction_context``): a dict of
+        LAZY DataFrames keyed like the reference's result sections —
+        nothing executes until the caller acts on a section, so asking
+        for the full context costs only the sections actually read."""
+        from .operators.chat import messages_for_interaction
+        from .operators.tasks import (build_documents, build_tasks,
+                                      build_tool_requests)
+        w = F.col("interaction_uri") == interaction_uri
+        out: dict[str, DataFrame] = {}
+        if include_messages:
+            out["messages"] = messages_for_interaction(
+                self.messages, interaction_uri)
+        if include_tasks:
+            out["tasks"] = build_tasks(self._events).where(w)
+        if include_tools:
+            out["tool_requests"] = build_tool_requests(self._events).where(w)
+        if include_documents:
+            if self._documents is None:
+                raise ValueError("ChatView was built without a documents "
+                                 "table; pass documents= to include them")
+            out["documents"] = build_documents(self._documents).where(w)
+        return out
 
     def search_messages(self, k: int = 10,
                         score_col: str = "score") -> DataFrame:

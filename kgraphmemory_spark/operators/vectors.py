@@ -89,12 +89,33 @@ def build_typed_vector_records(
     parts = [
         build_vector_records(df, uri_col=uri_col,
                              mappings=mappings_for_type(type_uri))
+        .withColumn("object_type", F.lit(type_uri))
         for df, type_uri, uri_col in typed
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def search_all_types(vectors: DataFrame, query_text: str,
+                     limit_per_type: int = 10) -> DataFrame:
+    """``search_all`` (kgraph_bridge.py:139-150) over a typed vectors
+    table (``build_typed_vector_records`` output): the reference runs one
+    sequential search per object family and returns a dict of lists; here
+    ONE scored scan ranks every record and a window keeps the top
+    ``limit_per_type`` per ``object_type`` — same per-family limit, one
+    distributed pass."""
+    qvec = embed_text(query_text)
+    from pyspark.sql import Window
+    scored = vectors.select(
+        "object_type", "record_id", "uri", "vector_id",
+        F.round(cosine_to_literal(
+            F.col("vector").cast("array<double>"), qvec), 6).alias("score"))
+    w = Window.partitionBy("object_type").orderBy(
+        F.desc("score"), F.asc("record_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= limit_per_type).drop("rank"))
 
 
 def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
@@ -113,6 +134,21 @@ def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
     """
     embed_udf = embed_udf if embed_udf is not None else embed_text_udf
     mappings = mappings or ENTITY_VECTOR_MAPPINGS
+    # Mapped properties the object type doesn't carry are skipped, and a
+    # vector whose every mapped property is absent emits no record —
+    # kgraph.py:427-434 collects only present props and :77-78 drops
+    # empty vector_text before add_text.  If nothing survives, fall back
+    # to the plain name-based general vector (mappings_for_type posture).
+    present = set(objects.columns)
+    mappings = {vid: [p for p in props if p in present]
+                for vid, props in mappings.items()}
+    mappings = {vid: props for vid, props in mappings.items() if props}
+    if not mappings:
+        if "name" not in present:
+            raise ValueError(
+                f"no mapped vector property exists on the objects table "
+                f"(columns: {sorted(present)})")
+        mappings = {"general": ["name"]}
     uri = F.col(uri_col).cast("string")
     variants = F.array(*[
         F.struct(
@@ -137,7 +173,8 @@ def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
             F.col("v.mapped"),
         ).alias("metadata"),
     )
-    return exploded.select(
+    # empty vector_text emits no record (kgraph.py:77-78 `if vector_text`)
+    return exploded.where(F.length("text") > 0).select(
         vector_record_id_col(F.col("uri"), F.col("vector_id")).alias("record_id"),
         "uri", "vector_id", "text",
         embed_udf(F.col("text")).alias("vector"),
@@ -145,14 +182,17 @@ def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",
     )
 
 
-def knn(vectors: DataFrame, query_text: str, k: int = 10,
+def knn(vectors: DataFrame, query_text: str | None = None, k: int = 10,
         vector_id: str | None = None,
         metadata_filters: dict | None = None,
-        score_threshold: float | None = None) -> DataFrame:
+        score_threshold: float | None = None,
+        query_vector: list[float] | None = None) -> DataFrame:
     """`search_by_text` (kgraph_vector_db.py:172-229): embed the query on
     the driver, scan distributed.  Filters mirror `_build_filter`
     (kgraph_vector_db.py:231-263): exact match / `in` list / range dicts
-    with gte/lte/gt/lt keys — all pushed below the similarity projection."""
+    with gte/lte/gt/lt keys — all pushed below the similarity projection.
+    ``query_vector`` skips the embedding step — the reference's
+    ``vector_search_by_vector`` (kgraph.py:274-294)."""
     out = vectors
     if vector_id is not None:
         out = out.where(F.col("vector_id") == vector_id)
@@ -184,7 +224,12 @@ def knn(vectors: DataFrame, query_text: str, k: int = 10,
             out = out.where(col.isin(*[str(c) for c in cond]))
         else:
             out = out.where(col == str(cond))
-    qvec = embed_text(query_text)
+    if query_vector is not None:
+        qvec = [float(x) for x in query_vector]
+    elif query_text is not None:
+        qvec = embed_text(query_text)
+    else:
+        raise ValueError("knn needs query_text or query_vector")
     out = out.select(
         "record_id", "uri", "vector_id",
         F.round(cosine_to_literal(F.col("vector").cast("array<double>"), qvec), 6)

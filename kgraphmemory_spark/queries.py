@@ -1779,6 +1779,53 @@ def q_x1(spark, sf):
     return per.unionByName(total)
 
 
+@register("x2_memory_manager", f"""
+  WITH na AS ({_sql_object_subjects("nation", _X1_URI_SQL,
+                                    ["n_name", "n_regionkey"])}),
+  re AS ({_sql_object_subjects(
+      "region", "'region:' || CAST(r_regionkey AS VARCHAR)", ["r_name"])})
+  SELECT 'g-nation' AS graph_id, 'urn:graph:nation' AS graph_uri,
+         CAST(count(*) AS BIGINT) AS rdf_triple_count,
+         CAST(count(DISTINCT subject) AS BIGINT) AS subject_count,
+         (SELECT CAST(count(*) AS BIGINT) FROM nation
+          WHERE n_name IS NOT NULL AND n_name <> '') AS vector_record_count
+  FROM na
+  UNION ALL
+  SELECT 'g-region', 'urn:graph:region',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT subject) AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM region
+          WHERE r_name IS NOT NULL AND r_name <> '')
+  FROM re
+""")
+def q_x2(spark, sf):
+    """KGraphMemory end-to-end (memory.py — the reference's top-level
+    manager, kgraph_memory.py:8-270): two graphs registered into the ONE
+    shared graph_id-partitioned store via ``add_objects`` (triples + the
+    name-based general vector in one pass), then ``all_stats`` — the
+    per-graph roll-up as ONE grouped plan instead of the reference's
+    per-bridge loop (kgraph_memory.py:140-147).  The oracle derives the
+    triple counts from the same shared emission spec as x1 and the vector
+    counts from the record rule (one general record per object with a
+    non-empty name — kgraph.py:77-78 drops empty vector_text)."""
+    from .memory import KGraphMemory
+    m = KGraphMemory(spark)
+    ga = m.create_graph("g-nation", "urn:graph:nation")
+    gb = m.create_graph("g-region", "urn:graph:region")
+    n = load(spark, sf, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("uri"),
+        F.col("n_name").alias("name"), "n_regionkey")
+    r = load(spark, sf, "region").select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("uri"),
+        F.col("r_name").alias("name"))
+    ga.add_objects(n, uri_col="uri", type_uri="urn:kg:Nation",
+                   property_cols=["name", "n_regionkey"])
+    gb.add_objects(r, uri_col="uri", type_uri="urn:kg:Region",
+                   property_cols=["name"])
+    return m.all_stats()
+
+
 # ===================== typed task / tool facades ==========================
 
 @register("task1_status_rollup", """

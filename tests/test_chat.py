@@ -99,3 +99,29 @@ def test_interactions_census(events):
              for r in build_interactions(events).collect()}
     assert sum(inter.values()) == events.count()
     assert set(inter) == {f"urn:interaction:{u}" for u in range(4)}
+
+
+def test_interaction_context(events, spark):
+    """get_interaction_context (kgraph_bridge.py:128-137): one dict with
+    every section for the interaction, each a lazy per-section plan."""
+    docs = spark.createDataFrame(
+        [(1, "0", "en", 120), (2, "1", "de", 80)],
+        "doc_id long, source string, lang string, n_chars long")
+    cv = ChatView(events, documents=docs)
+    ctx = cv.interaction_context("urn:interaction:0")
+    assert set(ctx) == {"messages", "tasks", "tool_requests", "documents"}
+    # user 0 owns events 0,4,8,... (40/4); errors drop from tasks only
+    assert ctx["messages"].count() == 10
+    n_err = events.where((F.col("user_id") == 0)
+                         & (F.col("event_type") == "error")).count()
+    assert ctx["tasks"].count() == 10 - n_err
+    assert ctx["tool_requests"].count() == 10
+    assert [r.doc_uri for r in ctx["documents"].collect()] == ["urn:doc:1"]
+    # sections are opt-out, matching the reference's include_* flags
+    slim = cv.interaction_context("urn:interaction:0",
+                                  include_documents=False,
+                                  include_tools=False)
+    assert set(slim) == {"messages", "tasks"}
+    # documents section without a documents table is a clear error
+    with pytest.raises(ValueError, match="without a documents table"):
+        ChatView(events).interaction_context("urn:interaction:0")

@@ -77,6 +77,21 @@ def test_knn_matches_python_oracle(vectors):
     assert got[0][0] == "ent:hash_join"  # exact-text query hits its entity
 
 
+def test_knn_by_raw_vector(vectors):
+    """vector_search_by_vector (kgraph.py:274-294): a raw query vector
+    skips embedding; the embedded-text twin must rank identically."""
+    q = embed_text("hash join")
+    by_vec = [(r.uri, r.score) for r in
+              knn(vectors, query_vector=q, k=3,
+                  vector_id="entity_value").collect()]
+    by_text = [(r.uri, r.score) for r in
+               knn(vectors, "hash join", k=3,
+                   vector_id="entity_value").collect()]
+    assert by_vec == by_text
+    with pytest.raises(ValueError, match="query_text or query_vector"):
+        knn(vectors, k=3)
+
+
 def test_metadata_filters(vectors):
     hits = knn(vectors, "spark", k=10,
                metadata_filters={"vector_id": "entity_type",
@@ -124,3 +139,31 @@ def test_hybrid_semi_join(vectors, entities):
     solo = entities.where(F.col("entity_id") == "ent:merge")
     hits = hybrid_search(vectors, solo, "hash join", k=10).collect()
     assert {h.uri for h in hits} == {"ent:merge"}
+
+
+def test_search_all_types_one_plan(spark, entities):
+    """search_all (kgraph_bridge.py:139-150): per-object-family top-k out
+    of ONE scored scan + window, vs the reference's sequential per-family
+    searches."""
+    from kgraphmemory_spark.operators.vectors import (
+        build_typed_vector_records,
+        search_all_types,
+    )
+    frames = spark.createDataFrame(
+        [("urn:f1", "urn:ftype:merge")], "frame_uri string, frame_type string")
+    typed = build_typed_vector_records([
+        (entities, "urn:kg:Token", "entity_id"),
+        (frames, "urn:frame:next", "frame_uri"),
+    ]).cache()
+    hits = search_all_types(typed, "hash join", limit_per_type=2).collect()
+    by_type = {}
+    for r in hits:
+        by_type.setdefault(r.object_type, []).append(r)
+    # every family present, each capped at limit_per_type
+    assert set(by_type) == {"urn:kg:Token", "urn:frame:next"}
+    assert all(len(v) <= 2 for v in by_type.values())
+    assert by_type["urn:kg:Token"][0].uri == "ent:hash_join"
+    # ranks agree with the single-family knn on the same records
+    solo = knn(typed.where(F.col("object_type") == "urn:kg:Token"),
+               "hash join", k=2).collect()
+    assert [r.uri for r in by_type["urn:kg:Token"]] == [r.uri for r in solo]
