@@ -143,19 +143,32 @@ def connected_components(
     saved_width = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
+    import time as _time
+    round_secs: list[float] = []
+    round_edges: list[int] = []
     prev = (-1, 0)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        _t0 = _time.time()
         # -- large star: for each u, link every neighbor v > u to
-        #    m = min(neighborhood ∪ {u})
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        #    m = min(neighborhood ∪ {u}).  Round 1 skips the re-union: the
+        #    input is already the symmetric closure, and doubling it only
+        #    doubles the heaviest round's shuffle volume.
+        if rounds == 1:
+            sym = e
+        else:
+            sym = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
             sym.groupBy("u").agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
+        # shuffle-hash hint: mins is one row per node — building a hash
+        # map per partition beats sort-merge's full sort of the (much
+        # larger) edge side every round
         e = (
-            sym.join(mins, "u")
+            sym.join(mins.hint("shuffle_hash"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -168,7 +181,7 @@ def connected_components(
         ).distinct()
         mins = lo.groupBy("u").agg(F.min("v").alias("m"))
         e = (
-            lo.join(mins, "u")
+            lo.join(mins.hint("shuffle_hash"), "u")
             .select(F.col("v").alias("n"), F.col("m"))
             .union(mins.select(F.col("u").alias("n"), F.col("m")))
             .where(F.col("n") != F.col("m"))
@@ -177,12 +190,16 @@ def connected_components(
         )
         e = e.localCheckpoint(eager=True)
         cur = _checksum(e)
+        round_secs.append(round(_time.time() - _t0, 2))
+        round_edges.append(cur[0])
         if cur == prev:
             break
         prev = cur
     spark.conf.set("spark.sql.shuffle.partitions", saved_width)
     if stats is not None:
         stats["rounds"] = rounds
+        stats["round_secs"] = round_secs
+        stats["round_edges"] = round_edges
 
     # after convergence every edge is (node → component-min); nodes that
     # only appeared in self-loops / singleton inputs map to themselves
