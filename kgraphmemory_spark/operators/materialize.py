@@ -150,6 +150,25 @@ def build_relations(raw_triples: DataFrame, canonical: DataFrame,
     )
 
 
+def build_relations_docagg(pair_counts: DataFrame,
+                           pred: str | None = None) -> DataFrame:
+    """relations from ``extract_canonical_pair_counts`` output: the rows
+    are already canonical and deduped per document, so weight = Σ cnt and
+    ndocs = COUNT(*) — ONE aggregation whose map-side combine collapses
+    each partition to its distinct canonical pairs before any shuffle.
+    Identical output to ``build_relations`` (asserted in
+    tests/test_pipeline_fastpath.py); this is the scale path whenever the
+    canonical vocabulary fits a broadcast dict."""
+    from ..semantics import REL_NEXT
+    return (
+        pair_counts.groupBy("subj", "obj")
+        .agg(F.sum("cnt").cast("long").alias("weight"),
+             F.count(F.lit(1)).alias("ndocs"))
+        .select("subj", F.lit(pred or REL_NEXT).alias("pred"), "obj",
+                "weight", "ndocs")
+    )
+
+
 def build_frames_slots(relations: DataFrame) -> tuple[DataFrame, DataFrame]:
     """relations → (frames, slots) in the WordNet relationship-frame shape."""
     frames = relations.select(

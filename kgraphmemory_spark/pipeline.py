@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from .io.snapshots import SnapshotCatalog, lineage_by_url
 from .operators.cc import canonical_mapping
-from .operators.extraction import extract_docs, extract_mentions, extract_raw_triples
+from .operators.extraction import (
+    extract_canonical_pair_counts,
+    extract_docs,
+    extract_mentions,
+    extract_raw_triples,
+)
 from .operators.linking import (
     BROADCAST_MAX_ALIAS_ROWS,
     discovered_alias_from_docs,
@@ -37,8 +42,14 @@ from .operators.materialize import (
     build_frames_slots,
     build_provenance,
     build_relations,
+    build_relations_docagg,
     build_triples,
 )
+
+# canonical-dict ceiling for the doc-aggregated relations path: above this
+# the map no longer belongs on the driver and relations fall back to the
+# pre-aggregated shuffle path (vocabulary-sized, so 1M entries ≈ tens of MB)
+RELATIONS_DOCAGG_MAX_VOCAB = 1_000_000
 from .semantics import SYNONYMS
 
 
@@ -193,8 +204,26 @@ def run_pipeline(
     # the oracle in tests
     entities = stage("entities", lambda: build_entities_preagg(
         mentions, ranked, canonical, broadcast_alias=broadcast_vocab))
-    relations = stage("relations", lambda: build_relations(
-        raw_triples, canonical, broadcast_canonical=broadcast_vocab))
+
+    def _relations() -> DataFrame:
+        # Scale path: when the canonical vocabulary fits a driver dict,
+        # the (pair, url) half of the relations aggregate is computed
+        # per-document inside the extraction pass (every pair of a doc
+        # lives in ONE docs_clean row, so the url level never needs a
+        # shuffle) and the global agg map-side-combines down to the
+        # canonical pair space.  The shuffle path measured 2.3+2.7 GB
+        # shuffled / ~1200 CPU-s at 2M pages; this path shuffles KBs.
+        # Open vocabulary past the dict ceiling → the original
+        # pre-aggregated shuffle path.
+        if n_alias <= RELATIONS_DOCAGG_MAX_VOCAB:
+            cmap = {r["entity_id"]: r["canonical_id"]
+                    for r in canonical.collect()}
+            return build_relations_docagg(
+                extract_canonical_pair_counts(docs_clean, cmap))
+        return build_relations(raw_triples, canonical,
+                               broadcast_canonical=broadcast_vocab)
+
+    relations = stage("relations", _relations)
 
     if cat is None:
         frames, slots = build_frames_slots(relations)
