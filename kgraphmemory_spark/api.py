@@ -186,6 +186,13 @@ class KGraphView:
         (kgraph.py:200-210)."""
         return self._sparql().construct(query)
 
+    def sparql_describe(self, query: str) -> DataFrame:
+        """DESCRIBE → every stored triple (all columns) of the described
+        resources — the fourth query form (the reference gets it free
+        from pyoxigraph; kgraph.py only wraps the other three, so this
+        rounds out the pyoxigraph-level surface)."""
+        return self._sparql().describe(query)
+
     def sparql_update(self, update: str) -> DataFrame:
         """SPARQL UPDATE (kgraph_rdf_db.py:342-357) as a pure transform:
         returns the NEW triples table (the reference mutates its

@@ -2053,6 +2053,28 @@ def q_sparql_path_reach(spark, sf):
           }} ORDER BY ?a ?b""")
 
 
+@register("sparql_describe", f"""
+  WITH t AS ({SQL_TRIPLES_LONG}),
+  r AS (SELECT subject FROM t
+        WHERE predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+          AND object = 'urn:frame:next'
+        ORDER BY subject LIMIT 20)
+  SELECT t.subject, t.predicate, t.object, t.graph
+  FROM t WHERE t.subject IN (SELECT subject FROM r)
+""")
+def q_sparql_describe(spark, sf):
+    """Raw-SPARQL DESCRIBE (the fourth query form, kgraph.py exposes the
+    other three via sparql_query/ask/construct): subject description of
+    the lexicographically first 20 relation frames — ORDER BY + LIMIT
+    bound the RESOURCE set (solution modifiers apply to solutions, not to
+    the emitted triples), then one semi-join pulls every stored triple of
+    each resource."""
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(kg_tables(spark, sf).triples)
+    return eng.describe(
+        "DESCRIBE ?f WHERE { ?f a <urn:frame:next> . } ORDER BY ?f LIMIT 20")
+
+
 # ===================== certification window curation ======================
 #
 # The driver's correctness gate certifies the FIRST 50 registry entries in

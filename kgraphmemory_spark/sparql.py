@@ -33,7 +33,9 @@ tests) uses the fragment implemented here:
   ``BOUND``, ``IF``, ``EXISTS { }`` / ``NOT EXISTS { }``;
 - solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
   hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
-  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``;
+  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``,
+  ``DESCRIBE`` (subject-scoped description; IRIs, variables or ``*``,
+  WHERE optional for ground IRIs);
 - subqueries ``{ SELECT ... }`` (SPARQL 1.1 §12): evaluated as an
   independent plan (aggregates/modifiers included), joined to the
   enclosing group on the projected variables.
@@ -586,7 +588,33 @@ class _Parser:
                  "where": self._group(None)}
             q.update(self._modifiers())
             return q
-        raise ValueError("expected SELECT / ASK / CONSTRUCT "
+        if self._kw("DESCRIBE"):
+            star, vars_, iris = False, [], []
+            while True:
+                if self._at("op", "*"):
+                    self.i += 1
+                    star = True
+                elif self._at("var"):
+                    vars_.append(self._next()[1][1:])
+                elif self._at("iri") or self._at("pname"):
+                    iris.append(self._term()[1])
+                else:
+                    break
+            if not (star or vars_ or iris):
+                raise ValueError("DESCRIBE needs * or at least one "
+                                 "variable/IRI")
+            where = None
+            if self._at("op", "{") or (
+                    self._peek()[0] == "word"
+                    and self._peek()[1].upper() == "WHERE"):
+                where = self._where_group()
+            elif star or vars_:
+                raise ValueError("DESCRIBE with variables needs WHERE")
+            q = {"form": "describe", "star": star, "vars": vars_,
+                 "iris": iris, "where": where}
+            q.update(self._modifiers())
+            return q
+        raise ValueError("expected SELECT / ASK / CONSTRUCT / DESCRIBE "
                          "(for updates call SparqlEngine.update)")
 
     # -- update forms ---------------------------------------------------
@@ -807,6 +835,43 @@ class SparqlEngine:
         for p_ in parts[1:]:
             out = out.unionByName(p_)
         return out.distinct()
+
+    def describe(self, text: str) -> DataFrame:
+        """DESCRIBE → every stored triple (all columns) whose subject is a
+        described resource.  The spec leaves the description's extent to
+        the implementation (SPARQL 1.1 §16.4); this engine returns the
+        simple subject description — the natural form for a store whose
+        nodes are all named URIs (skolemized ids, no blank nodes to close
+        over; pyoxigraph behind the reference likewise describes without
+        CBD blank-node chasing).  Resources = the explicit IRIs plus the
+        distinct values of the DESCRIBE variables over the WHERE
+        solutions (solution modifiers applied first, so ORDER BY/LIMIT
+        bound the resource set, not the emitted triples).  The semi-join
+        against the store is left to AQE: a handful of solutions
+        broadcasts, a million-solution describe stays a shuffle join."""
+        q = _Parser(text).parse()
+        if q["form"] != "describe":
+            raise ValueError(f"describe() got a {q['form']} query")
+        parts = []
+        if q["where"] is not None:
+            df, bound = self._group(q["where"])
+            df = self._modifiers(df, q, bound)
+            vs = sorted(bound) if q["star"] else q["vars"]
+            for v in vs:
+                if v not in bound:
+                    raise ValueError(f"DESCRIBE variable ?{v} is not "
+                                     "bound by the WHERE group")
+                parts.append(df.select(F.col(v).alias("r")))
+        if q["iris"]:
+            spark = self.triples.sparkSession
+            parts.append(spark.createDataFrame(
+                [(i,) for i in q["iris"]], "r string"))
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
+        res = res.distinct()
+        return self.triples.join(
+            res, self.triples["subject"] == res["r"], "left_semi")
 
     # -- update ---------------------------------------------------------
     def update(self, text: str) -> DataFrame:

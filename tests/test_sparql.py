@@ -239,6 +239,40 @@ def test_ask(eng):
         FILTER EXISTS { ?f kg:hasKGFrameTypeDescription ?d } }""")
 
 
+def test_describe(eng):
+    # ground IRI, no WHERE: every stored triple of the resource
+    rows = eng.describe("DESCRIBE <urn:frame1>").collect()
+    assert {r["predicate"] for r in rows} == {
+        RT, KG + "hasKGFrameType", KG + "hasKGFrameTypeDescription"}
+    assert all(r["subject"] == "urn:frame1" for r in rows)
+    # variable bound by WHERE; ORDER BY/LIMIT bound the RESOURCE set
+    rows = eng.describe(P + """DESCRIBE ?f WHERE { ?f a kg:KGFrame . }
+        ORDER BY ?f LIMIT 1""").collect()
+    assert {r["subject"] for r in rows} == {"urn:frame1"}
+    assert len(rows) == 3
+    # mixed ground IRI + variable, deduplicated resource set
+    rows = eng.describe(P + """DESCRIBE <urn:frame1> ?f
+        WHERE { ?f a kg:KGFrame . }""").collect()
+    assert {r["subject"] for r in rows} == {"urn:frame1", "urn:frame2"}
+    # DESCRIBE * describes every bound variable
+    rows = eng.describe(P + """DESCRIBE * WHERE {
+        ?f kg:hasKGFrameType ?ft . FILTER(?f = <urn:frame2>) }""").collect()
+    assert {r["subject"] for r in rows} == {"urn:frame2"}  # ?ft not stored
+    # non-resource objects (plain literals) describe to nothing
+    assert eng.describe("DESCRIBE <urn:not-there>").count() == 0
+
+
+def test_describe_errors(eng):
+    with pytest.raises(ValueError, match="needs WHERE"):
+        eng.describe("DESCRIBE ?f")
+    with pytest.raises(ValueError, match="not bound"):
+        eng.describe("DESCRIBE ?x WHERE { ?f ?p ?o . }")
+    with pytest.raises(ValueError, match="needs \\* or at least"):
+        eng.describe("DESCRIBE WHERE { ?f ?p ?o . }")
+    with pytest.raises(ValueError, match="got a describe"):
+        eng.query("DESCRIBE <urn:frame1>")
+
+
 def test_values_inline_data(eng):
     rows = eng.query(P + """SELECT ?frame ?ft WHERE {
         VALUES ?ft { <urn:Edge_WordnetHyponym> <urn:Edge_Nope> }
