@@ -267,6 +267,42 @@ def merge_components(committed: DataFrame, new_edges: DataFrame,
     return relabeled.unionByName(brand_new)
 
 
+def canonical_mapping_local(spark, entity_ids: list[str],
+                            same_as_pairs: list[tuple[str, str]]) -> DataFrame:
+    """Driver fast path for ``canonical_mapping`` when the caller ALREADY
+    knows the entity universe is tiny (the pipeline counts the ranked
+    alias table anyway, so no extra job is spent learning it): one
+    driver-side union-find over the live pairs, one ``createDataFrame``
+    back.  The DataFrame path spends ~6 small Spark jobs (checkpoints,
+    size agg, edge collect, mapping join) whose fixed scheduling latency
+    lands in the scaling run's SERIAL floor — at a bounded vocabulary all
+    of them compute over a few dozen rows.  Identical output to
+    ``canonical_mapping`` (lexicographic-min labels, only pairs with both
+    endpoints live fire, isolated ids map to themselves) — asserted in
+    tests/test_cc.py."""
+    live = set(entity_ids)
+    parent = {e: e for e in live}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in same_as_pairs:
+        if a in live and b in live:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    # union-by-min keeps every root the lexicographic min of its class
+    rows = [(e, find(e)) for e in sorted(live)]
+    return spark.createDataFrame(rows,
+                                 "entity_id string, canonical_id string")
+
+
 def canonical_mapping(entities: DataFrame, same_as: DataFrame,
                       id_col: str = "entity_id") -> DataFrame:
     """entity_id → canonical_id for ALL entities (isolated → self).

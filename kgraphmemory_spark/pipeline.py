@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io.snapshots import SnapshotCatalog, lineage_by_url
-from .operators.cc import canonical_mapping
+from .operators.cc import canonical_mapping, canonical_mapping_local
 from .operators.extraction import (
     extract_canonical_pair_counts,
     extract_docs,
@@ -183,8 +183,16 @@ def run_pipeline(
 
     def _canonical():
         # entity universe from the (vocabulary-sized) ranked alias table,
-        # NOT from a distinct over per-mention rows
+        # NOT from a distinct over per-mention rows.  n_alias is already
+        # known (the count above), so a tiny vocabulary takes the driver
+        # fast path — one collect over the cached ranked table instead of
+        # the DataFrame CC path's ~6 fixed-latency mini-jobs, which
+        # otherwise sit in the scaling run's serial floor.
         ents = ranked.select("entity_id").distinct()
+        if n_alias <= RELATIONS_DOCAGG_MAX_VOCAB:
+            ids = [r["entity_id"] for r in ents.collect()]
+            pairs = [("ent:" + a, "ent:" + b) for a, b in SYNONYMS]
+            return canonical_mapping_local(spark, ids, pairs)
         return canonical_mapping(ents, same_as_edges(spark))
 
     canonical = stage("canonical_map", _canonical)

@@ -77,6 +77,26 @@ def test_canonical_mapping_isolated_nodes(spark):
     assert got == {"ent:a": "ent:a", "ent:b": "ent:a", "ent:z": "ent:z"}
 
 
+def test_canonical_mapping_local_equivalence(spark):
+    """The driver fast path (pipeline's tiny-vocabulary branch) must be
+    row-identical to the DataFrame path, including missing-endpoint and
+    isolated-node semantics, on random graphs."""
+    from kgraphmemory_spark.operators.cc import canonical_mapping_local
+
+    rng = random.Random(11)
+    for trial in range(3):
+        ids = sorted({f"ent:{rng.randrange(40):02d}" for _ in range(30)})
+        pairs = [(rng.choice(ids), f"ent:{rng.randrange(50):02d}")
+                 for _ in range(25)]          # some endpoints missing
+        ents = spark.createDataFrame([(i,) for i in ids], "entity_id string")
+        same = spark.createDataFrame(pairs, "src string, dst string")
+        df_path = {r.entity_id: r.canonical_id
+                   for r in canonical_mapping(ents, same).collect()}
+        local = {r.entity_id: r.canonical_id
+                 for r in canonical_mapping_local(spark, ids, pairs).collect()}
+        assert local == df_path, f"trial {trial}"
+
+
 def test_distributed_path_at_representative_shape(spark):
     """The alternating-star loop on the chains+hubs shape (driver_threshold=0
     forces the distributed path): round count stays O(log diameter), the
