@@ -29,7 +29,10 @@ Scaling evidence (north rule: ≥0.8 efficiency N→4N executors; sandbox
 proxy per driver instruction "N and 4N cores"): the same pipeline job runs
 in TWO fresh subprocesses at local[4] and local[16] over an identical
 deterministic synthetic corpus (--scaling-pages, default 6,000,000 pages
-≈ 450M raw triples);
+≈ 450M raw triples) materialized ONCE as parquet on disk and scanned by
+both children — the input is a TABLE, as in the north rule, not a
+block-manager cache whose eviction behavior differs between the two
+thread counts (_write_scale_corpus);
 efficiency = (T4 / T16) / 4, min of 3 reps per config run INSIDE ONE
 child JVM each — full-scale steady state only arrives after 1-2 full
 reps in the same process (local16 at 2M pages measured 327 → 103 →
@@ -269,7 +272,37 @@ def _cpu_scaling_probe(lo: int = 4, hi: int = 16,
     }
 
 
-def _scaling_child(cores: int, pages: int, reps: int = 3,
+def _write_scale_corpus(pages: int) -> str:
+    """Materialize the deterministic scaling corpus ONCE as parquet on
+    local disk; both scaling children then READ THE SAME FILES.
+
+    Round-3 finding: the previous design generated the corpus inside each
+    child and held it in `.cache()`.  At 6M pages (~15 GB uncompressed in
+    the block manager) the 16-thread child's execution memory evicted
+    cached partitions mid-rep and silently re-ran the (Python, serial-ish)
+    datagen inside the measured window, while the 4-thread child's cache
+    survived — local[16] measured 90 s where the fitted T(c)=S+W/c model
+    predicts 75 s, dragging "efficiency" to 0.69.  That was a bench
+    artifact, not pipeline behavior.  Reading the corpus from parquet is
+    also the faithful setup: the north rule's input is an Iceberg TABLE —
+    a real job scans storage, it does not hold its input in RAM, and a
+    real N->4N resize scales aggregate memory 4x while local[N] cannot.
+    The scan (+ decompression) now sits inside the measured window for
+    both configs alike."""
+    out = f"/tmp/kgm_scale_corpus_{pages}"
+    if os.path.exists(out + "/_SUCCESS"):
+        return out  # deterministic (seed, row-index) generation — reusable
+    from kgraphmemory_spark.datagen import generate_pages_distributed
+    from kgraphmemory_spark.session import get_spark
+    spark = get_spark(app="kgm-corpus", cores=CPUS,
+                      shuffle_partitions=CPUS)
+    generate_pages_distributed(spark, pages, seed=42, partitions=64) \
+        .write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def _scaling_child(cores: int, corpus_dir: str, reps: int = 3,
                    budget_s: int = 1500) -> tuple[float, int, list]:
     """Run the pipeline job in a fresh subprocess at local[cores].
 
@@ -282,7 +315,7 @@ def _scaling_child(cores: int, pages: int, reps: int = 3,
     (bounds the driver's per-round bench on a slow host; per-rep busy
     levels in the JSON show when a short run was noisy).
 
-    A small UNMEASURED warmup run (5% of the corpus) precedes the reps:
+    A small UNMEASURED warmup run (50k generated pages) precedes the reps:
     the first full run otherwise pays JVM/codegen warmup (~2-3.5× the
     steady rep observed), which both wastes measurement budget and biases
     a rep-starved config.
@@ -323,23 +356,21 @@ class BusySampler:
     def mean(self):
         return round(sum(self.samples) / max(len(self.samples), 1), 1)
 
-# identical input (fixed 64-way deterministic generation); shuffle width
-# scales with the "cluster" as it would on a real N->4N resize
+# identical input (one shared parquet corpus on disk — see
+# _write_scale_corpus); shuffle width scales with the "cluster" as it
+# would on a real N->4N resize
 spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores})
-warm = generate_pages_distributed(spark, {max(pages // 20, 1000)}, seed=7,
-                                  partitions=16)
+warm = generate_pages_distributed(spark, 50000, seed=7, partitions=16)
 kgw = run_pipeline(spark, warm, link_strategy="salted")
 kgw.relations.count(); kgw.entities.count(); kgw.triples.count()
 spark.catalog.clearCache()
-pages = generate_pages_distributed(spark, {pages}, seed=42, partitions=64)
-pages.cache().count()  # corpus generation excluded from the measured window
+pages = spark.read.parquet({corpus_dir!r})
 rep_stats = []
 spent = 0.0
 for _ in range({reps}):
     if rep_stats and spent > {budget_s}:
         break
     spark.catalog.clearCache()
-    pages.cache().count()
     b0 = busy_cores()
     with BusySampler() as smp:
         t0 = time.time()
@@ -387,8 +418,13 @@ def main() -> None:
     # ~0.78 (measured 0.775 at 2M, 0.828 at 4M on an idle host).  The
     # floor is a fixed cost a real long-running cluster amortizes over
     # far more input than any one bench rep, so the corpus is sized to
-    # keep it under ~15% of the local[16] wall; the driver-canonical
-    # fast path shaved a further ~2.5 s of it.
+    # keep it under ~15% of the local[16] wall.  The corpus itself lives
+    # on disk as parquet (_write_scale_corpus): the earlier in-child
+    # `.cache()` design anti-scaled at this size — the 16-thread child's
+    # execution memory evicted the cached corpus mid-rep and re-ran the
+    # datagen inside the measured window (measured 90 s vs the 75 s the
+    # floor model predicts), a bench artifact the 4-thread child did not
+    # pay.
     scaling_pages = 6_000_000
     for i, a in enumerate(sys.argv):
         if a == "--scaling-pages":
@@ -436,15 +472,16 @@ def main() -> None:
         # steady state).  Each child start is additionally gated on the
         # box being near-idle; if the first round still lands under the
         # 0.8 bar, one extra gated pair runs and global minima win.
+        corpus_dir = _write_scale_corpus(scaling_pages)
         gates: list = [_wait_quiet()]
-        t_n, n_raw, reps_n = _scaling_child(4, scaling_pages, reps=3)
+        t_n, n_raw, reps_n = _scaling_child(4, corpus_dir, reps=3)
         gates.append(_wait_quiet())
-        t_4n, _, reps_4n = _scaling_child(16, scaling_pages, reps=3)
+        t_4n, _, reps_4n = _scaling_child(16, corpus_dir, reps=3)
         if (t_n / t_4n) / 4.0 < 0.8:
             gates.append(_wait_quiet())
-            _, _, r4 = _scaling_child(4, scaling_pages, reps=2)
+            _, _, r4 = _scaling_child(4, corpus_dir, reps=2)
             gates.append(_wait_quiet())
-            _, _, r16 = _scaling_child(16, scaling_pages, reps=2)
+            _, _, r16 = _scaling_child(16, corpus_dir, reps=2)
             reps_n += r4
             reps_4n += r16
             t_n = _best_clean(reps_n, 4)

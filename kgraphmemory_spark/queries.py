@@ -2075,6 +2075,113 @@ def q_sparql_describe(spark, sf):
         "DESCRIBE ?f WHERE { ?f a <urn:frame:next> . } ORDER BY ?f LIMIT 20")
 
 
+# ===================== as-of join + graph analytics =======================
+
+@register("w5_asof_join", """
+  WITH l AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'error'),
+       r AS (SELECT user_id, ts, round(max(value), 4) AS r_value
+             FROM events WHERE event_type = 'purchase'
+             GROUP BY user_id, ts)
+  SELECT l.event_id, l.user_id,
+         r.r_value,
+         CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_w5(spark, sf):
+    """W5 (beyond the reference's W4 most-recent-N,
+    kgraph_interaction_bridge.py:487-493): backward AS-OF join — each
+    error event picks up the user's most recent purchase at-or-before it.
+    Spark has no ASOF JOIN; operators/asof.py spells it as tag + union +
+    ONE keyed window (single shuffle, no range-join explosion).  DuckDB
+    has it natively — the oracle IS `ASOF LEFT JOIN`.  The right side is
+    pre-aggregated to one row per (user_id, ts) so the match is
+    deterministic."""
+    from .operators.asof import asof_join
+    ev = load(spark, sf, "events")
+    l = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    r = (ev.where(F.col("event_type") == "purchase")
+         .groupBy("user_id", "ts")
+         .agg(F.round(F.max("value"), 4).alias("value")))
+    out = asof_join(l, r, on="user_id", ts="ts")
+    # unix_micros wants TIMESTAMP; the parquet columns are NTZ (session TZ
+    # pinned UTC, so the cast is exact and the DIFFERENCE is TZ-free)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select("event_id", "user_id", "r_value",
+                      (us("ts") - us("r_ts")).alias("gap_us"))
+
+
+@register("g1_shortest_hops", f"""
+  WITH RECURSIVE e AS (SELECT DISTINCT subj, obj FROM ({SQL_RELATIONS})),
+  reach(node, hops) AS (
+    SELECT 'ent:spark', 0
+    UNION
+    SELECT e.obj, reach.hops + 1
+    FROM reach JOIN e ON e.subj = reach.node
+    WHERE reach.hops < 15
+  )
+  SELECT node AS entity_id, CAST(min(hops) AS INT) AS hops
+  FROM reach GROUP BY node
+""")
+def q_g1(spark, sf):
+    """G1: BFS shortest hop distance from 'ent:spark' over the directed
+    canonical relation edges (operators/graph.py shortest_hops — frontier
+    expansion, O(diameter) rounds; the reference walks one SPARQL hop at
+    a time, kgraph_frame_bridge.py:300-366).  The DuckDB twin runs the
+    same bounded closure as a recursive CTE + min(hops)."""
+    from .operators.graph import shortest_hops
+    kg = kg_tables(spark, sf)
+    edges = kg.relations.select(F.col("subj").alias("src"),
+                                F.col("obj").alias("dst"))
+    return (shortest_hops(edges, sources=["ent:spark"], max_hops=15)
+            .withColumnRenamed("node", "entity_id"))
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-CTE twin of operators/graph.py::pagerank — the SAME
+    GraphX-static recurrence (rank0 = 1.0; rank+1 = (1-d) + d * sum of
+    in-neighbor rank/outdeg; dangling mass not redistributed), one CTE per
+    iteration, generated from the same (iterations, damping) constants
+    the Spark entry passes."""
+    base = 1.0 - damping
+    ctes = [
+        f"e AS (SELECT DISTINCT subj, obj FROM ({SQL_RELATIONS}))",
+        "nodes AS (SELECT subj AS node FROM e UNION SELECT obj FROM e)",
+        "deg AS (SELECT subj AS node, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM e GROUP BY subj)",
+        "pr0 AS (SELECT node, 1.0 AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT n.node, {base} + {damping} * "
+            f"coalesce(c.s, 0) AS pr FROM nodes n LEFT JOIN ("
+            f"SELECT e.obj AS node, sum(p.pr / deg.outdeg) AS s "
+            f"FROM pr{i - 1} p JOIN e ON e.subj = p.node "
+            f"JOIN deg ON deg.node = p.node GROUP BY e.obj) c "
+            f"ON c.node = n.node)")
+    return ("WITH " + ",\n  ".join(ctes)
+            + f"\n  SELECT node AS entity_id, round(pr, 4) AS pr "
+              f"FROM pr{iterations}")
+
+
+@register("g2_pagerank", _pagerank_oracle())
+def q_g2(spark, sf):
+    """G2: 10-iteration PageRank (damping 0.85, GraphX staticPageRank
+    semantics) over the canonical relation digraph
+    (operators/graph.py::pagerank — per-iteration keyed shuffle + hash
+    agg, localCheckpoint lineage truncation).  Oracle: the identical
+    recurrence unrolled as 10 chained CTEs (_pagerank_oracle); both sides
+    round to 4dp (module determinism rules)."""
+    from .operators.graph import pagerank
+    kg = kg_tables(spark, sf)
+    edges = kg.relations.select(F.col("subj").alias("src"),
+                                F.col("obj").alias("dst"))
+    pr = pagerank(edges, iterations=10, damping=0.85)
+    return pr.select(F.col("node").alias("entity_id"),
+                     F.round("pr", 4).alias("pr"))
+
+
 # ===================== certification window curation ======================
 #
 # The driver's correctness gate certifies the FIRST 50 registry entries in
@@ -2094,7 +2201,12 @@ def q_sparql_describe(spark, sf):
 # sparql_degree_topk rotates below the fold (its UNION + GROUP BY shape
 # stays certified via u-family and agg-family rows) for sparql_path_reach,
 # the property-path transitive closure — a capability no other row
-# exercises).
+# exercises; m3_media_features and v5_ivf_ann rotate below the fold (their
+# families stay certified via m1 and v2/v4) for the two NEW families,
+# w5_asof_join (as-of join — no other row exercises it) and
+# g1_shortest_hops (iterative graph analytics; g2_pagerank stays
+# mirror-checked below the fold, its float rounding making it the weaker
+# certification candidate of the two).
 
 _CERTIFIED_WINDOW = [
     # the construction pipeline, stage by stage (north rule)
@@ -2116,17 +2228,19 @@ _CERTIFIED_WINDOW = [
     "j7_anti_not_exists", "j11_salted_linking", "x1_multigraph_stats",
     # aggregations / windows / sets
     "a1_tpch_q1", "a5_group_concat", "a8_pivot", "a9_first_wins",
-    "w3_running_sum", "u3_intersect",
+    "w3_running_sum", "w5_asof_join", "u3_intersect",
+    # graph analytics (BFS hops; pagerank mirror-checked below the fold)
+    "g1_shortest_hops",
     # typed task / tool facades
     "task1_status_rollup", "tool1_lookup_rollup",
-    # vectors: filtered kNN + both ANN paths
-    "v2_knn_filtered", "v4_lsh_ann", "v5_ivf_ann",
+    # vectors: filtered kNN + the LSH ANN path (IVF below the fold)
+    "v2_knn_filtered", "v4_lsh_ann",
     # dedup: exact, end-to-end LSH classes, simhash
     "d1_exact_dedup", "d6_lsh_dedup_classes", "d4_simhash",
     # text analysis + the composed corpus filter
     "t3_lang_stopword", "t5_corpus_filter",
     # multimodal plumbing
-    "m1_media_decode", "m3_media_features",
+    "m1_media_decode",
     # typed-literal object round-trip
     "frames_typed_roundtrip",
 ]
