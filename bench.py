@@ -32,7 +32,10 @@ deterministic synthetic corpus (--scaling-pages, default 6,000,000 pages
 ≈ 450M raw triples) materialized ONCE as parquet on disk and scanned by
 both children — the input is a TABLE, as in the north rule, not a
 block-manager cache whose eviction behavior differs between the two
-thread counts (_write_scale_corpus);
+thread counts (_write_scale_corpus) — with the file-split size pinned
+(8MB) in both children, because Spark's cores-dependent default split
+sizing otherwise hands the 4-core child ~6 fat splits and ragged
+scan+extract waves where a real cluster resize leaves splits unchanged;
 efficiency = (T4 / T16) / 4, min of 3 reps per config run INSIDE ONE
 child JVM each — full-scale steady state only arrives after 1-2 full
 reps in the same process (local16 at 2M pages measured 327 → 103 →
@@ -358,8 +361,18 @@ class BusySampler:
 
 # identical input (one shared parquet corpus on disk — see
 # _write_scale_corpus); shuffle width scales with the "cluster" as it
-# would on a real N->4N resize
-spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores})
+# would on a real N->4N resize.  File-split size is PINNED: Spark's
+# default maxSplitBytes = min(128MB, totalBytes/defaultParallelism) is
+# cores-dependent, so the 4-core child packed the 64-file corpus into
+# ~6 fat splits and ran its dominant scan+extract stage in ragged
+# waves (25%+ idle cores), while the 16-core child got ~16 aligned
+# splits — measured as a bogus SUPERLINEAR 4→16 "efficiency" of 1.18.
+# A real N→4N resize never changes the input splits; 8MB splits give
+# both configs the same 64 well-balanced tasks (A/B: local[4] 328 s
+# unpinned → 280 s pinned, local[16] unchanged).
+spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores},
+                  extra={{"spark.sql.files.maxPartitionBytes":
+                          str(8 * 1024 * 1024)}})
 warm = generate_pages_distributed(spark, 50000, seed=7, partitions=16)
 kgw = run_pipeline(spark, warm, link_strategy="salted")
 kgw.relations.count(); kgw.entities.count(); kgw.triples.count()
