@@ -79,6 +79,20 @@ class _Ctx:
             else:
                 raise ValueError(f"unsupported @context entry {term!r}")
 
+    def derived(self, raw) -> "_Ctx":
+        """An inner ``@context`` EXTENDS the active one (JSON-LD context
+        processing applies definitions in order, later overriding
+        earlier — it never discards outer terms); ``null`` resets to the
+        empty context, per spec."""
+        if raw is None:
+            return _Ctx(None)
+        child = _Ctx(raw)
+        merged = _Ctx(None)
+        merged.base = child.base if "@base" in raw else self.base
+        merged.vocab = child.vocab if "@vocab" in raw else self.vocab
+        merged.terms = {**self.terms, **child.terms}
+        return merged
+
     def _expand_ref(self, name: str) -> str:
         """Expand a term / compact IRI / relative IRI used in IRI position."""
         if name in self.terms and "@id" in self.terms[name]:
@@ -148,7 +162,7 @@ class _Parser:
             raise ValueError(f"top-level JSON-LD value must be an object "
                              f"or array, got {type(doc).__name__}")
         if "@context" in doc:
-            ctx = _Ctx(doc["@context"])
+            ctx = (ctx or _Ctx(None)).derived(doc["@context"])
         ctx = ctx or _Ctx(None)
         if "@graph" in doc:
             g = ctx._expand_ref(doc["@id"]) if "@id" in doc else graph
@@ -162,11 +176,11 @@ class _Parser:
         self._node(doc, ctx, graph)
 
     def _node(self, node: dict, ctx: _Ctx, graph: str | None) -> str:
-        # Nested nodes may carry their own @context (re-derived here —
-        # idempotent for the top-level doc, whose context parse() already
-        # applied).
+        # Nested nodes may carry their own @context, which extends the
+        # active one (idempotent for the top-level doc, whose context
+        # parse() already applied: re-deriving X over X is X).
         if "@context" in node:
-            ctx = _Ctx(node["@context"])
+            ctx = ctx.derived(node["@context"])
         subj = (ctx._expand_ref(node["@id"]) if "@id" in node
                 else self._blank())
         if "@graph" in node:

@@ -29,12 +29,12 @@ manager swaps its current table references; commit durably through
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.vector import cosine_to_literal, embed_text
 from .operators.store import objects_to_triples
-from .operators.vectors import build_vector_records, mappings_for_type
+from .operators.vectors import (build_vector_records, mappings_for_type,
+                                ranked_search)
 
 TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
                  "obj_datatype string, graph string, graph_id string")
@@ -286,16 +286,7 @@ class KGraphMemory:
         out = self.vectors
         if vector_id is not None:
             out = out.where(F.col("vector_id") == vector_id)
-        qvec = embed_text(query_text)
-        scored = out.select(
-            "graph_id", "record_id", "uri", "vector_id",
-            F.round(cosine_to_literal(
-                F.col("vector").cast("array<double>"), qvec), 6)
-            .alias("score"))
-        w = Window.partitionBy("graph_id").orderBy(
-            F.desc("score"), F.asc("record_id"))
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= limit_per_graph).drop("rank"))
+        return ranked_search(out, query_text, "graph_id", limit_per_graph)
 
     def sparql_query_across_graphs(self, query: str) -> dict[str, DataFrame]:
         """graph_id → lazy result plan for the same query text

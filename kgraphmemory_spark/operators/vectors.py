@@ -98,6 +98,25 @@ def build_typed_vector_records(
     return out
 
 
+def ranked_search(vectors: DataFrame, query_text: str, partition_col: str,
+                  limit_per_partition: int = 10) -> DataFrame:
+    """Score every record against ``query_text`` in ONE scan, rank
+    within each ``partition_col`` group, keep the top
+    ``limit_per_partition`` — the shared shape behind per-object-type
+    search (``search_all_types``) and cross-graph search
+    (``memory.search_across_graphs``)."""
+    qvec = embed_text(query_text)
+    from pyspark.sql import Window
+    scored = vectors.select(
+        partition_col, "record_id", "uri", "vector_id",
+        F.round(cosine_to_literal(
+            F.col("vector").cast("array<double>"), qvec), 6).alias("score"))
+    w = Window.partitionBy(partition_col).orderBy(
+        F.desc("score"), F.asc("record_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= limit_per_partition).drop("rank"))
+
+
 def search_all_types(vectors: DataFrame, query_text: str,
                      limit_per_type: int = 10) -> DataFrame:
     """``search_all`` (kgraph_bridge.py:139-150) over a typed vectors
@@ -106,16 +125,8 @@ def search_all_types(vectors: DataFrame, query_text: str,
     ONE scored scan ranks every record and a window keeps the top
     ``limit_per_type`` per ``object_type`` — same per-family limit, one
     distributed pass."""
-    qvec = embed_text(query_text)
-    from pyspark.sql import Window
-    scored = vectors.select(
-        "object_type", "record_id", "uri", "vector_id",
-        F.round(cosine_to_literal(
-            F.col("vector").cast("array<double>"), qvec), 6).alias("score"))
-    w = Window.partitionBy("object_type").orderBy(
-        F.desc("score"), F.asc("record_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= limit_per_type).drop("rank"))
+    return ranked_search(vectors, query_text, "object_type",
+                         limit_per_type)
 
 
 def build_vector_records(objects: DataFrame, uri_col: str = "entity_id",

@@ -52,6 +52,13 @@ exactly the shape Spark's optimizer is built for.
 
 Documented deviations (all on the engine's string data model):
 - ``GROUP_CONCAT`` sorts its inputs (deterministic distributed order);
+- ``MIN``/``MAX`` return the winning term's lexical form — ordered
+  numerically when every non-null input casts to a number, else
+  lexically (covers the store's ISO dateTimes); ``SUM``/``AVG`` are
+  numeric, non-castable input → NULL;
+- an UPDATE template variable in object position carries a *lexical
+  form*: DELETE matches it against any datatype/lang, INSERT writes a
+  plain (untyped) literal;
 - a typed object literal matches on lexical form, plus datatype when
   the table carries ``obj_datatype``;
 - ``CONSTRUCT`` returns the deduplicated triple set (a graph is a set);
@@ -89,7 +96,9 @@ _TOK = re.compile(
     | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
     | (?P<dtm>\^\^)
-    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+      # DECIMAL needs a digit after the point (SPARQL grammar): "1." is
+      # INTEGER "1" + the triple terminator, not a decimal literal
+    | (?P<num>[+-]?(?:\d+\.\d*[eE][+-]?\d+|(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?))
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-.%]*|:[\w\-.%]*)
     | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -127,6 +136,25 @@ def _tokens(text: str) -> list[tuple[str, str]]:
 
 
 # ------------------------------------------------------------------- AST
+
+def _expr_vars(e) -> set:
+    """Variable names referenced anywhere in an expression tree."""
+    out: set = set()
+
+    def walk(x):
+        if isinstance(x, tuple):
+            if x and x[0] == "var":
+                out.add(x[1])
+                return
+            for y in x:
+                walk(y)
+        elif isinstance(x, list):
+            for y in x:
+                walk(y)
+
+    walk(e)
+    return out
+
 
 @dataclass
 class Group:
@@ -896,7 +924,8 @@ class SparqlEngine:
                 sols, bound = self._group(where)
                 if dtmpl:
                     df = self._anti(df, self._instantiate(sols, bound,
-                                                          dtmpl))
+                                                          dtmpl,
+                                                          mark_lex=True))
                 if itmpl:
                     df = df.unionByName(self._instantiate(sols, bound,
                                                           itmpl),
@@ -917,8 +946,18 @@ class SparqlEngine:
         keep = [c for c in df.columns if c in self.cols]
         return df.select(*keep)
 
-    def _instantiate(self, sols: DataFrame, bound: set, tmpl: list
-                     ) -> DataFrame:
+    def _instantiate(self, sols: DataFrame, bound: set, tmpl: list,
+                     mark_lex: bool = False) -> DataFrame:
+        """Template × solutions → quad rows.  A variable in object
+        position binds a *lexical form* (the solution columns are
+        strings — the engine's data model), so the instantiated row
+        carries NULL datatype/lang.  For DELETE templates
+        (``mark_lex=True``) such rows additionally carry
+        ``__lex_only=true`` so ``_anti`` matches them on lexical form
+        alone — otherwise a variable delete template could never remove
+        a typed or lang-tagged row (NULL ≠ ``xsd:dateTime`` under the
+        null-safe compare).  INSERT keeps the NULL: typed-ness does not
+        ride through variable bindings (documented deviation)."""
         parts = []
         for s, p, o, g in tmpl:
             def col(term):
@@ -940,6 +979,8 @@ class SparqlEngine:
                            .cast("string").alias("obj_lang"))
             if "graph" in self.cols:
                 sel.append(col(g).alias("graph"))
+            if mark_lex:
+                sel.append(F.lit(o[0] == "var").alias("__lex_only"))
             parts.append(sols.select(*sel))
         out = parts[0]
         for p_ in parts[1:]:
@@ -947,36 +988,30 @@ class SparqlEngine:
         return out.distinct()
 
     def _anti(self, df: DataFrame, dels: DataFrame) -> DataFrame:
-        """Remove every row of ``df`` matching a delete row.  Datatype /
-        lang compare null-safely (a plain-literal delete must match a
-        NULL datatype row, and must NOT match a typed one); a NULL graph
-        on the delete side is a wildcard matching any graph — the
-        remove_triples convention."""
-        eq_keys = [c for c in ("subject", "predicate", "object")
-                   if c in dels.columns]
-        ns_keys = [c for c in ("obj_datatype", "obj_lang")
-                   if c in self.cols and c in dels.columns]
-        has_graph = "graph" in self.cols and "graph" in dels.columns
-
-        def run(delset: DataFrame, with_graph: bool) -> DataFrame:
-            d = delset.distinct().alias("__d")
-            t = df.alias("__t")
-            cond = F.lit(True)
-            for c in eq_keys:
+        """Remove every row of ``df`` matching a delete row — ONE
+        left-anti join: equi on (subject, predicate, object) with the
+        rest residual.  Datatype / lang compare null-safely (a
+        plain-literal delete must match a NULL datatype row, and must
+        NOT match a typed one) UNLESS the delete row came from a
+        variable object template (``__lex_only`` — lexical match, any
+        datatype/lang); a NULL graph on the delete side is a wildcard
+        matching any graph — the remove_triples convention."""
+        d = dels.distinct().alias("__d")
+        t = df.alias("__t")
+        lex = (F.col("__d.__lex_only") if "__lex_only" in dels.columns
+               else F.lit(False))
+        cond = F.lit(True)
+        for c in ("subject", "predicate", "object"):
+            if c in dels.columns:
                 cond = cond & (F.col(f"__t.{c}") == F.col(f"__d.{c}"))
-            for c in ns_keys:
-                cond = cond & F.col(f"__t.{c}").eqNullSafe(
-                    F.col(f"__d.{c}"))
-            if with_graph:
-                cond = cond & (F.col("__t.graph") == F.col("__d.graph"))
-            return t.join(d, cond, "left_anti")
-
-        if has_graph:
-            wild = dels.where(F.col("graph").isNull()).drop("graph")
-            exact = dels.where(F.col("graph").isNotNull())
-            df = run(wild, with_graph=False)
-            return run(exact, with_graph=True)
-        return run(dels, with_graph=False)
+        for c in ("obj_datatype", "obj_lang"):
+            if c in self.cols and c in dels.columns:
+                cond = cond & (lex | F.col(f"__t.{c}").eqNullSafe(
+                    F.col(f"__d.{c}")))
+        if "graph" in self.cols and "graph" in dels.columns:
+            cond = cond & (F.col("__d.graph").isNull()
+                           | (F.col("__t.graph") == F.col("__d.graph")))
+        return t.join(d, cond, "left_anti")
 
     # -- group graph pattern --------------------------------------------
     # -- property-path evaluation ----------------------------------------
@@ -1219,8 +1254,7 @@ class SparqlEngine:
                     rows, ", ".join(f"{n} string" for n in names)))
                 df, bound = self._join(df, bound, vdf, set(names))
             elif kind == "optional":
-                odf, ovars = self._group(payload)
-                df, bound = self._join(df, bound, odf, ovars, how="left")
+                df, bound = self._optional(df, bound, payload)
             elif kind == "minus":
                 mdf, mvars = self._group(payload)
                 keys = sorted(bound & mvars)
@@ -1246,6 +1280,48 @@ class SparqlEngine:
         if df is None:
             raise ValueError("empty group pattern")
         return df, bound
+
+    def _optional(self, df, bound, opt: Group):
+        """SPARQL LeftJoin (§18.2.2.6): a FILTER inside OPTIONAL
+        evaluates over the *joined* bindings — the spec's own example is
+        ``{ ?x :p ?v OPTIONAL { ?x :q ?w FILTER(?v < ?w) } }``.  Filters
+        fully bound inside the group apply group-locally (equivalent and
+        cheaper); filters referencing left-side variables defer into the
+        left-join condition (rows failing it keep the left bindings with
+        the optional side nulled, never dropped).  EXISTS filters stay
+        group-local — one that needs left bindings raises."""
+        inner = Group(elements=opt.elements, filters=[])
+        odf, ovars = self._group(inner)
+        deferred = []
+        for flt in opt.filters:
+            if flt[0] == "exists":
+                odf = self._exists_join(odf, ovars, flt)
+            elif _expr_vars(flt) <= ovars:
+                odf = odf.where(self._expr(flt, odf, ovars))
+            else:
+                deferred.append(flt)
+        if not deferred:
+            return self._join(df, bound, odf, ovars, how="left")
+        if df is None:
+            raise ValueError(
+                "OPTIONAL filter references variables bound nowhere: "
+                f"{sorted(_expr_vars(deferred[0]) - ovars)}")
+        # conditional left join: rename the shared keys on the optional
+        # side (keeps every column reference unambiguous), equi-join on
+        # them plus the deferred filters as residual conditions
+        keys = sorted(bound & ovars)
+        right = odf
+        for k in keys:
+            right = right.withColumnRenamed(k, f"__opt_{k}")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__opt_{k}"))
+        jbound = bound | ovars
+        for flt in deferred:
+            cond = cond & self._expr(flt, None, jbound)
+        out = df.join(right, cond, "left").drop(
+            *[f"__opt_{k}" for k in keys])
+        return out, bound | ovars
 
     def _exists_join(self, df, bound, flt) -> DataFrame:
         _, positive, sub = flt
@@ -1357,12 +1433,13 @@ class SparqlEngine:
         has_agg = any(p[0] == "expr" and p[1][0] == "agg" for p in proj)
         if has_agg or q["group_by"]:
             gb = q["group_by"]
-            aggs, names = [], []
+            aggs, names, sel = [], [], []
             for p in proj:
                 if p[0] == "plain":
                     if p[1] not in gb:
                         raise ValueError(
                             f"?{p[1]} must appear in GROUP BY")
+                    sel.append(p[1])
                 elif p[0] == "expr":
                     if p[1][0] != "agg":
                         raise ValueError(
@@ -1371,42 +1448,53 @@ class SparqlEngine:
                             "in the WHERE group instead)")
                     aggs.append(self._agg(p[1], df, bound).alias(p[2]))
                     names.append(p[2])
+                    sel.append(p[2])
                 else:
                     raise ValueError("SELECT * cannot mix with aggregates")
-            plain = [p[1] for p in proj if p[0] == "plain"]
-            # HAVING: hoist each aggregate in the constraints into a
-            # hidden agg column, filter on it post-agg, then the final
-            # projection drops the hidden columns
+            # HAVING and ORDER BY: hoist each aggregate into a hidden agg
+            # column, apply the constraint / sort post-agg, then the
+            # final projection (in the query's own column order) drops
+            # the hidden columns
             hidden: list = []
             having = [self._hoist_aggs(e, hidden)
                       for e in (q.get("having") or [])]
+            order_by = [(self._hoist_aggs(e, hidden), asc)
+                        for e, asc in (q.get("order_by") or [])]
             aggs += [self._agg(a, df, bound).alias(nm) for nm, a in hidden]
             out = (df.groupBy(*gb) if gb else df.groupBy()).agg(*aggs)
             hbound = set(gb) | set(names) | {nm for nm, _ in hidden}
             for e in having:
                 out = out.where(self._expr(e, out, hbound))
-            out = out.select(*(plain + names)) if plain or names else out
-        else:
-            if q.get("having"):
-                raise ValueError("HAVING requires GROUP BY or an "
-                                 "aggregate projection")
-            cols = []
-            for p in proj:
-                if p[0] == "star":
-                    cols.extend(sorted(bound))
-                elif p[0] == "plain":
-                    if p[1] not in bound:
-                        raise ValueError(f"?{p[1]} is not bound")
-                    cols.append(p[1])
-                else:
-                    df = df.withColumn(p[2], self._expr(p[1], df, bound))
-                    bound.add(p[2])
-                    cols.append(p[2])
-            out = df.select(*cols) if cols else df
-            bound = set(cols) | bound
+            if q["distinct"]:
+                # DISTINCT projects first; ORDER BY may then only use
+                # projected variables (SPARQL §18.2.1.4)
+                out = out.select(*sel) if sel else out
+                return self._modifiers(out.distinct(), q,
+                                       set(out.columns))
+            out = self._modifiers(out, dict(q, order_by=order_by), hbound)
+            return out.select(*sel) if sel else out
+        if q.get("having"):
+            raise ValueError("HAVING requires GROUP BY or an "
+                             "aggregate projection")
+        cols = []
+        for p in proj:
+            if p[0] == "star":
+                cols.extend(sorted(bound))
+            elif p[0] == "plain":
+                if p[1] not in bound:
+                    raise ValueError(f"?{p[1]} is not bound")
+                cols.append(p[1])
+            else:
+                df = df.withColumn(p[2], self._expr(p[1], df, bound))
+                bound.add(p[2])
+                cols.append(p[2])
         if q["distinct"]:
-            out = out.distinct()
-        return self._modifiers(out, q, set(out.columns))
+            out = df.select(*cols) if cols else df
+            return self._modifiers(out.distinct(), q, set(out.columns))
+        # no DISTINCT: order/slice BEFORE projecting, so ORDER BY may use
+        # any in-scope variable, projected or not (§18.2.1.4 order)
+        df = self._modifiers(df, q, bound)
+        return df.select(*cols) if cols else df
 
     def _hoist_aggs(self, e, sink: list):
         """Rewrite ("agg", ...) subtrees of a HAVING constraint to fresh
@@ -1445,9 +1533,24 @@ class SparqlEngine:
             base = F.array_sort(F.collect_set(c) if distinct
                                 else F.collect_list(c))
             return F.array_join(base, sep)
+        if name in ("MIN", "MAX"):
+            # SPARQL MIN/MAX order by "<", which covers strings and
+            # dateTimes, not just numbers.  Values are strings (the
+            # engine's data model): order numerically when EVERY non-null
+            # input casts (returning the original lexical form of the
+            # winning element, tie-broken lexically — deterministic),
+            # else lexically — the same convention FILTER comparisons use.
+            num = c.try_cast("double")
+            pair = F.when(c.isNotNull(),
+                          F.struct(num.alias("n"), c.alias("v")))
+            pick = (F.min(pair) if name == "MIN" else F.max(pair))["v"]
+            all_num = F.count(c) == F.count(num)
+            lex = F.min(c) if name == "MIN" else F.max(c)
+            return F.when(all_num, pick).otherwise(lex)
+        # SUM/AVG are numeric by definition (SPARQL raises a type error
+        # on non-numeric input; here non-castable values → NULL)
         c = c.try_cast("double")
-        return {"SUM": F.sum(c), "MIN": F.min(c), "MAX": F.max(c),
-                "AVG": F.avg(c)}[name]
+        return {"SUM": F.sum(c), "AVG": F.avg(c)}[name]
 
     def _modifiers(self, df, q, bound) -> DataFrame:
         if q.get("order_by"):

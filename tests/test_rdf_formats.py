@@ -118,6 +118,26 @@ def test_jsonld_semantics():
     assert all(r[5] == "urn:d" for r in rows)
 
 
+def test_jsonld_nested_context_extends_outer():
+    """An inner @context EXTENDS the active context (JSON-LD context
+    processing), so outer prefixes keep working inside the nested node;
+    `null` resets it."""
+    doc = ('{"@context": {"ex": "http://ex/"}, "@id": "http://a", '
+           '"ex:p": {"@context": {"name": "http://n/name"}, '
+           '"@id": "http://b", "ex:q": "v", "name": "bob"}}')
+    rows = parse_jsonld_text(doc, None)
+    got = {(s, p, o) for s, p, o, *_ in rows}
+    assert got == {("http://a", "http://ex/p", "http://b"),
+                   ("http://b", "http://ex/q", "v"),
+                   ("http://b", "http://n/name", "bob")}
+    # "@context": null resets — the outer term is gone, bare key raises
+    doc2 = ('{"@context": {"ex": "http://ex/"}, "@id": "http://a", '
+            '"ex:p": {"@context": null, "@id": "http://b", "ex:q": "v"}}')
+    rows2 = parse_jsonld_text(doc2, None)
+    # with no prefix mapping, "ex:q" is taken as an absolute IRI as-is
+    assert ("http://b", "ex:q", "v") in {(s, p, o) for s, p, o, *_ in rows2}
+
+
 def test_jsonld_named_graph_and_errors():
     g = ('{"@context": {"ex": "http://example.org/"}, "@id": "ex:g1", '
          '"@graph": [{"@id": "ex:a", "@type": "ex:T"}]}')

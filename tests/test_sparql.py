@@ -225,8 +225,9 @@ def test_aggregates_and_modifiers(eng):
     assert r[0]["cs"] == "hello bot | hello user | what is Tech?"
     r = eng.query(P + """SELECT (MAX(?t) AS ?last) WHERE {
         ?m vital-core:hasTimestamp ?t . }""").collect()
-    # MAX over non-numeric strings: try_cast null — documented numeric
-    # aggregate domain; use ORDER BY DESC LIMIT 1 for lexical max
+    # MAX over ISO dateTime strings orders lexically (the store's
+    # canonical form) and returns the winning lexical form
+    assert r[0]["last"] == "2024-01-01T10:01:00"
     offs = eng.query(P + """SELECT ?m WHERE {
         ?m a kg:KGChatMessage . } ORDER BY ?m LIMIT 2 OFFSET 1""").collect()
     assert [x["m"] for x in offs] == ["urn:msg1", "urn:msg2"]
@@ -523,3 +524,113 @@ def test_update_rejects_vars_in_data(spark):
         [("urn:a", "urn:p", "x", None, None, None)], SCHEMA))
     with pytest.raises(ValueError, match="ground"):
         eng.update("INSERT DATA { <urn:a> <urn:p> ?v }")
+
+
+# ------------------- round-3 review regressions -----------------------
+
+def test_update_var_object_deletes_typed_rows(spark):
+    """A DELETE template variable in object position must remove typed /
+    lang-tagged rows (it binds a lexical form — matching is lexical),
+    and the rename idiom must work over typed values."""
+    ts = "2024-01-01T10:00:00"
+    rows = [("urn:m0", VC + "hasTimestamp", ts, XSD_DT, None, "g"),
+            ("urn:m0", KG + "hasName", "keep", None, None, "g")]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    out = eng.update(P + """DELETE WHERE {
+        ?m vital-core:hasTimestamp ?t . }""")
+    got = [(r["subject"], r["predicate"]) for r in out.collect()]
+    assert got == [("urn:m0", KG + "hasName")]
+    # rename: variable-object delete + ground insert over a typed row
+    out2 = eng.update(P + """
+        DELETE { ?m vital-core:hasTimestamp ?t }
+        INSERT { ?m vital-core:hasTimestamp "MOVED" }
+        WHERE  { ?m vital-core:hasTimestamp ?t . }""")
+    ts_rows = [(r["object"], r["obj_datatype"]) for r in out2.collect()
+               if r["predicate"] == VC + "hasTimestamp"]
+    assert ts_rows == [("MOVED", None)]
+    # a GROUND literal delete stays exact: plain never matches typed
+    out3 = eng.update(
+        P + 'DELETE DATA { <urn:m0> vital-core:hasTimestamp "%s" }' % ts)
+    assert out3.where(F.col("predicate") == VC + "hasTimestamp").count() == 1
+
+
+def test_integer_then_statement_dot_lexes(spark):
+    """``... 1.`` (no space) is INTEGER "1" + the triple terminator, not
+    an xsd:decimal "1." that silently matches nothing."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [("urn:a", "urn:p", "1", xsd_int, None, None),
+            ("urn:a", "urn:q", "1.5", None, None, None)]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    assert eng.query(
+        "SELECT ?s WHERE { ?s <urn:p> 1. }").collect()[0]["s"] == "urn:a"
+    # real decimals still lex and compare numerically
+    assert eng.query("""SELECT ?v WHERE { ?s <urn:q> ?v .
+        FILTER(?v < 2.5) }""").collect()[0]["v"] == "1.5"
+
+
+def test_min_max_numeric_returns_lexical_winner(spark):
+    """MIN/MAX order numerically when every input casts (returning the
+    original lexical form), else lexically — '100' beats '9' numerically
+    though '9' wins lexically."""
+    rows = [("urn:a", "urn:p", v, None, None, None)
+            for v in ("9", "10", "100")]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    r = eng.query("""SELECT (MAX(?v) AS ?mx) (MIN(?v) AS ?mn)
+        WHERE { ?s <urn:p> ?v }""").collect()[0]
+    assert (r["mx"], r["mn"]) == ("100", "9")
+
+
+def test_optional_filter_sees_left_bindings(eng):
+    """SPARQL §18.2.2.6 LeftJoin: a FILTER inside OPTIONAL evaluates
+    over the joined bindings — rows failing it keep the left side with
+    the optional variables unbound, never dropped."""
+    # shared-key case: msg2's timestamp fails the filter → content null
+    rows = eng.query(P + """SELECT ?m ?c WHERE {
+        ?m a kg:KGChatMessage . ?m vital-core:hasTimestamp ?v .
+        OPTIONAL { ?m kg:hasKGChatMessageContent ?c .
+                   FILTER(?v < "2024-01-01T10:01:00") } }
+        ORDER BY ?m""").collect()
+    assert [(r["m"], r["c"]) for r in rows] == [
+        ("urn:msg0", "hello bot"), ("urn:msg1", "hello user"),
+        ("urn:msg2", None)]
+    # no-shared-key case: every later timestamp, latest gets none
+    rows = eng.query(P + """SELECT ?m ?w WHERE {
+        ?m vital-core:hasTimestamp ?v .
+        OPTIONAL { ?m2 vital-core:hasTimestamp ?w . FILTER(?v < ?w) } }
+        ORDER BY ?m ?w""").collect()
+    got = [(r["m"], r["w"]) for r in rows]
+    assert got == [
+        ("urn:msg0", "2024-01-01T10:00:05"),
+        ("urn:msg0", "2024-01-01T10:01:00"),
+        ("urn:msg1", "2024-01-01T10:01:00"),
+        ("urn:msg2", None)]
+
+
+def test_order_by_aggregate(eng):
+    """ORDER BY DESC(COUNT(*)) — aggregates in sort keys hoist into
+    hidden post-agg columns, same as HAVING."""
+    rows = eng.query(P + """SELECT ?type WHERE { ?m a ?type . }
+        GROUP BY ?type ORDER BY DESC(COUNT(*)) ?type""").collect()
+    counts = {r["type"]: r["count"] for r in eng.query(
+        P + """SELECT ?type (COUNT(*) AS ?count) WHERE { ?m a ?type . }
+        GROUP BY ?type""").collect()}
+    seq = [counts[r["type"]] for r in rows]
+    assert seq == sorted(seq, reverse=True)
+    assert rows[0]["type"] == KG + "Edge_hasKGSlot"
+
+
+def test_order_by_unprojected_variable(eng):
+    """ORDER BY may use any in-scope variable when there is no DISTINCT
+    (ordering happens before projection)."""
+    rows = eng.query(P + """SELECT ?c WHERE {
+        ?m kg:hasKGChatMessageContent ?c . ?m vital-core:hasTimestamp ?t }
+        ORDER BY DESC(?t)""").collect()
+    assert [r["c"] for r in rows] == [
+        "what is Tech?", "hello user", "hello bot"]
+
+
+def test_group_by_projection_order(eng):
+    """Result columns follow the query's own projection order."""
+    q = eng.query(P + """SELECT (COUNT(*) AS ?c) ?type WHERE {
+        ?m a ?type . } GROUP BY ?type""")
+    assert q.columns == ["c", "type"]
