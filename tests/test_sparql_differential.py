@@ -1,0 +1,260 @@
+"""Differential battery for the SPARQL front-end: seeded random queries
+(BGP + FILTER + OPTIONAL + UNION + DISTINCT) are evaluated BOTH by the
+Spark engine (sparql.py compiles them to one DataFrame plan) and by an
+independent naive solution-mapping evaluator written straight from the
+SPARQL algebra (§18.2) — results must agree as multisets.
+
+The generator stays inside the engine's documented data model so the
+two implementations are comparable by construction:
+- UNION arms bind the same variable set (no partially-bound join keys:
+  the engine joins on string equality, where NULL never matches — the
+  documented deviation from spec "compatibility");
+- numeric FILTER comparisons only over the all-numeric predicate
+  (matching the engine's literal-driven try_cast rule);
+- OPTIONAL groups come last and may carry a filter referencing
+  left-side variables — the LeftJoin(expr) path.
+
+Failures print the query text + seed, so any divergence is replayable.
+"""
+
+import random
+from collections import Counter
+
+import pytest
+
+from kgraphmemory_spark.sparql import SparqlEngine
+
+SCHEMA = ("subject string, predicate string, object string, "
+          "obj_datatype string, obj_lang string, graph string")
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+SUBJECTS = [f"urn:s{i}" for i in range(8)]
+PREDS = [f"urn:p{i}" for i in range(4)]
+NUM_PRED = "urn:num"
+LITS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+IRIS = [f"urn:o{i}" for i in range(5)]
+
+
+def _data(rng: random.Random) -> list[tuple]:
+    rows = []
+    for _ in range(110):
+        s = rng.choice(SUBJECTS)
+        if rng.random() < 0.25:
+            rows.append((s, NUM_PRED, str(rng.randint(0, 9)), XSD_INT,
+                         None, rng.choice(["g0", "g1"])))
+        else:
+            p = rng.choice(PREDS)
+            o = rng.choice(LITS + IRIS)
+            rows.append((s, p, o, None, None, rng.choice(["g0", "g1"])))
+    return sorted(set(rows))
+
+
+# ---------------------------------------------------------------- naive
+# evaluator: solution mappings as dicts, straight from the algebra
+
+def _match(pattern, row):
+    """triple pattern × data row → binding dict or None."""
+    out = {}
+    for term, val in zip(pattern, row):
+        kind, v = term
+        if kind == "var":
+            if v in out and out[v] != val:
+                return None
+            out[v] = val
+        elif v != val:
+            return None
+    return out
+
+
+def _compatible(m1, m2):
+    return all(m1[k] == m2[k] for k in m1.keys() & m2.keys())
+
+
+def _eval_bgp(patterns, rows):
+    sols = [{}]
+    for pat in patterns:
+        nxt = []
+        for mu in sols:
+            for row in rows:
+                b = _match(pat, row)
+                if b is not None and _compatible(mu, b):
+                    nxt.append({**mu, **b})
+        sols = nxt
+    return sols
+
+
+def _eval_filter(flt, mu):
+    """(op, var, rhs, numeric) — SPARQL filter: unbound/error → False."""
+    op, var, rhs, numeric = flt
+    if var not in mu or mu[var] is None:
+        return False
+    v = mu[var]
+    if op == "contains":
+        return rhs in v
+    if numeric:
+        try:
+            v, rhs = float(v), float(rhs)
+        except ValueError:
+            return False
+    return {"=": v == rhs, "!=": v != rhs,
+            "<": v < rhs, ">": v > rhs}[op]
+
+
+def _eval_query(q, rows):
+    """q: dict(base, union, optional, filters, proj, distinct)."""
+    sols = _eval_bgp(q["base"], rows)
+    if q["union"]:
+        arm_a, arm_b = q["union"]
+        usols = _eval_bgp(arm_a, rows) + _eval_bgp(arm_b, rows)
+        sols = [{**mu, **nu} for mu in sols for nu in usols
+                if _compatible(mu, nu)]
+    if q["optional"]:
+        opats, oflts = q["optional"]
+        osols = _eval_bgp(opats, rows)
+        nxt = []
+        for mu in sols:
+            exts = [nu for nu in osols
+                    if _compatible(mu, nu)
+                    and all(_eval_filter(f, {**mu, **nu}) for f in oflts)]
+            nxt.extend({**mu, **nu} for nu in exts) if exts else \
+                nxt.append(mu)
+        sols = nxt
+    for f in q["filters"]:
+        sols = [mu for mu in sols if _eval_filter(f, mu)]
+    tuples = [tuple(mu.get(v) for v in q["proj"]) for mu in sols]
+    if q["distinct"]:
+        return Counter(set(tuples))
+    return Counter(tuples)
+
+
+# ------------------------------------------------------------ generator
+
+def _term_str(term):
+    kind, v = term
+    if kind == "var":
+        return f"?{v}"
+    if kind == "iri":
+        return f"<{v}>"
+    return f'"{v}"'
+
+
+def _gen_pattern(rng, vars_seen, numeric=False):
+    s = (("var", rng.choice("abcd")) if rng.random() < 0.7
+         else ("iri", rng.choice(SUBJECTS)))
+    if numeric:
+        p = ("iri", NUM_PRED)
+        o = ("var", rng.choice("vwxy"))
+    else:
+        p = ("iri", rng.choice(PREDS))
+        r = rng.random()
+        o = (("var", rng.choice("vwxy")) if r < 0.6 else
+             ("iri", rng.choice(IRIS)) if r < 0.8 else
+             ("lit", rng.choice(LITS)))
+    for t in (s, p, o):
+        if t[0] == "var":
+            vars_seen.add(t[1])
+    return (s, p, o)
+
+
+def _pat_vars(pats):
+    return {v for pat in pats for k, v in pat if k == "var"}
+
+
+def _gen_query(rng: random.Random):
+    vars_seen: set = set()
+    n_base = rng.randint(1, 3)
+    want_numeric = rng.random() < 0.3
+    base = [_gen_pattern(rng, vars_seen, numeric=(want_numeric and i == 0))
+            for i in range(n_base)]
+    if not _pat_vars(base):                      # keep ≥1 projectable var
+        base[0] = ((("var", "a")), base[0][1], base[0][2])
+        vars_seen.add("a")
+    union = optional = None
+    filters = []
+    extra = rng.random()
+    if extra < 0.35:
+        # two arms binding the SAME variable set, sharing ≥1 var with base
+        shared = ("var", rng.choice(sorted(_pat_vars(base)) or ["a"]))
+        ov = ("var", rng.choice("vwxy"))
+        arm_a = [(shared, ("iri", rng.choice(PREDS)), ov)]
+        arm_b = [(shared, ("iri", rng.choice(PREDS)), ov)]
+        union = (arm_a, arm_b)
+        vars_seen |= _pat_vars(arm_a)
+    elif extra < 0.7:
+        anchor = rng.choice(sorted(_pat_vars(base)) or ["a"])
+        opat = [(("var", anchor), ("iri", rng.choice(PREDS)),
+                 ("var", "z"))]
+        oflts = []
+        if rng.random() < 0.5:
+            # filter referencing a LEFT-side variable (LeftJoin path)
+            lft = rng.choice(sorted(_pat_vars(base) - {"z"} or {anchor}))
+            oflts.append(("!=", lft, rng.choice(LITS + IRIS), False))
+        if rng.random() < 0.4:
+            oflts.append(("contains", "z", rng.choice("aeop"), False))
+        optional = (opat, oflts)
+        vars_seen |= {"z", anchor}
+    bound = _pat_vars(base) | (
+        _pat_vars(union[0]) if union else set())
+    if bound and rng.random() < 0.6:
+        var = rng.choice(sorted(bound))
+        if want_numeric and var in "vwxy" and rng.random() < 0.5:
+            filters.append((rng.choice(("<", ">")), var,
+                            str(rng.randint(2, 7)), True))
+        else:
+            filters.append((rng.choice(("=", "!=", "contains")), var,
+                            rng.choice(LITS + IRIS + ["a"]), False))
+    projable = sorted(bound | ({"z"} if optional else set()))
+    k = rng.randint(1, len(projable))
+    proj = sorted(rng.sample(projable, k))
+    return {"base": base, "union": union, "optional": optional,
+            "filters": filters, "proj": proj,
+            "distinct": rng.random() < 0.4}
+
+
+def _to_text(q):
+    lines = [" ".join(_term_str(t) for t in pat) + " ."
+             for pat in q["base"]]
+    if q["union"]:
+        a, b = q["union"]
+        lines.append(
+            "{ " + " . ".join(" ".join(_term_str(t) for t in p)
+                              for p in a) + " } UNION { "
+            + " . ".join(" ".join(_term_str(t) for t in p)
+                         for p in b) + " }")
+
+    def flt(f):
+        op, var, rhs, numeric = f
+        if op == "contains":
+            return f'FILTER(CONTAINS(?{var}, "{rhs}"))'
+        r = rhs if numeric else (f"<{rhs}>" if rhs.startswith("urn:")
+                                 else f'"{rhs}"')
+        return f"FILTER(?{var} {op} {r})"
+
+    if q["optional"]:
+        opats, oflts = q["optional"]
+        body = " . ".join(" ".join(_term_str(t) for t in p)
+                          for p in opats)
+        body += " " + " ".join(flt(f) for f in oflts)
+        lines.append("OPTIONAL { " + body + " }")
+    lines += [flt(f) for f in q["filters"]]
+    head = "SELECT " + ("DISTINCT " if q["distinct"] else "") + \
+        " ".join(f"?{v}" for v in q["proj"])
+    return head + " WHERE {\n  " + "\n  ".join(lines) + "\n}"
+
+
+# ------------------------------------------------------------- the test
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_sparql_differential_battery(spark, seed):
+    rng = random.Random(seed)
+    rows = _data(rng)
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    for i in range(15):
+        q = _gen_query(rng)
+        text = _to_text(q)
+        expected = _eval_query(q, rows)
+        got = Counter(tuple(r[v] for v in q["proj"])
+                      for r in eng.query(text).collect())
+        assert got == expected, (
+            f"divergence (seed={seed}, query #{i}):\n{text}\n"
+            f"missing={expected - got}\nextra={got - expected}")
