@@ -134,3 +134,61 @@ def test_write_rdf_parallel_sink_roundtrip(spark, triples, tmp_path):
     assert {tuple(r)[:5] for r in back.collect()} == WANT
     with pytest.raises(ValueError, match="single document root"):
         write_rdf(triples, str(tmp_path / "x"), "rdf/xml")
+
+
+# ------------------- randomized roundtrip battery (round 3) ----------
+
+NASTY = ['"', '\\', "\n", "\r", "\t", "<", ">", "&", "'", "{", "}",
+         "é", "wörld", "日本", " ", '"""', "\\n", "a.b", ""]
+
+
+def _rand_rows(rng, n=60):
+    import random as _r
+    assert isinstance(rng, _r.Random)
+    subs = [f"http://e/s{i}" for i in range(6)] + ["_:r1", "_:r2"]
+    preds = [f"http://e/p{i}" for i in range(5)]
+    dts = [None, XSD + "integer", XSD + "dateTime", "http://e/dt"]
+    rows = set()
+    while len(rows) < n:
+        s = rng.choice(subs)
+        p = rng.choice(preds)
+        kind = rng.random()
+        if kind < 0.45:
+            o = "".join(rng.choice(NASTY) for _ in range(rng.randint(0, 4))) \
+                or "x"
+            dt, lang = rng.choice(dts), None
+            if dt is None and rng.random() < 0.3:
+                lang = rng.choice(["en", "fr-CA"])
+        elif kind < 0.75:
+            o, dt, lang = rng.choice(subs[:6]), None, None
+        else:
+            o, dt, lang = rng.choice(["_:r1", "_:r2", "_:r3"]), None, None
+        rows.add((s, p, o, dt, lang, rng.choice([None, "urn:g1", "urn:g2"])))
+    return sorted(rows, key=str)
+
+
+def test_randomized_roundtrip_all_formats(spark):
+    """Seeded random triples — adversarial literals (quotes, escapes,
+    newlines, unicode, XML/JSON metachars, empty string), typed/lang
+    literals, blank nodes, mixed graphs — must survive
+    serialize → parse through every format."""
+    import random
+
+    rng = random.Random(99)
+    rows = _rand_rows(rng)
+    df = spark.createDataFrame(rows, SCHEMA)
+    want5 = {t[:5] for t in rows}
+    want6 = set(rows)
+
+    ttl = dump_rdf_string(df, "turtle")
+    assert {t[:5] for t in parse_turtle_text(ttl)} == want5
+    trig = dump_rdf_string(df, "trig")
+    assert {tuple(t) for t in parse_turtle_text(trig)} == want6
+    doc = dump_rdf_string(df, "json-ld")
+    assert {t[:5] for t in parse_jsonld_text(doc)} == want5
+    xml = dump_rdf_string(df, "rdf/xml")
+    assert {t[:5] for t in parse_rdfxml_text(xml)} == want5
+    nq = dump_rdf_string(df, "nquads")
+    back = parse_lines(spark.createDataFrame(
+        [(line,) for line in nq.strip().splitlines()], "value string"))
+    assert {tuple(r) for r in back.collect()} == want6
