@@ -59,6 +59,12 @@ Documented deviations (all on the engine's string data model):
 - an UPDATE template variable in object position carries a *lexical
   form*: DELETE matches it against any datatype/lang, INSERT writes a
   plain (untyped) literal;
+- joins are on string equality, so an UNBOUND (NULL) shared variable
+  never matches — spec "compatibility" treats unbound as compatible
+  with anything.  Reachable only when a variable bound in just one
+  UNION arm (or inside OPTIONAL) is re-used as a join key afterwards;
+  the same trade-off most SPARQL-on-SQL engines make to keep joins
+  hash-joinable;
 - a typed object literal matches on lexical form, plus datatype when
   the table carries ``obj_datatype``;
 - ``CONSTRUCT`` returns the deduplicated triple set (a graph is a set);

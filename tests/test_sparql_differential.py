@@ -1,18 +1,23 @@
 """Differential battery for the SPARQL front-end: seeded random queries
-(BGP + FILTER + OPTIONAL + UNION + DISTINCT) are evaluated BOTH by the
-Spark engine (sparql.py compiles them to one DataFrame plan) and by an
-independent naive solution-mapping evaluator written straight from the
-SPARQL algebra (§18.2) — results must agree as multisets.
+(BGP + GRAPH + FILTER + OPTIONAL + UNION + MINUS + BIND + DISTINCT +
+ORDER/LIMIT) are evaluated BOTH by the Spark engine (sparql.py compiles
+them to one DataFrame plan) and by an independent naive
+solution-mapping evaluator written straight from the SPARQL algebra
+(§18.2) — results must agree as multisets (ordered lists when the query
+carries ORDER BY + LIMIT).
 
 The generator stays inside the engine's documented data model so the
 two implementations are comparable by construction:
 - UNION arms bind the same variable set (no partially-bound join keys:
   the engine joins on string equality, where NULL never matches — the
   documented deviation from spec "compatibility");
+- MINUS patterns anchor on base-bound (never optional) variables;
 - numeric FILTER comparisons only over the all-numeric predicate
   (matching the engine's literal-driven try_cast rule);
-- OPTIONAL groups come last and may carry a filter referencing
-  left-side variables — the LeftJoin(expr) path.
+- OPTIONAL groups come last among the block extras and may carry a
+  filter referencing left-side variables — the LeftJoin(expr) path;
+- ORDER BY covers every projected variable ascending (nulls first on
+  both sides), so the ordering is total and LIMIT is well-defined.
 
 Failures print the query text + seed, so any divergence is replayable.
 """
@@ -33,6 +38,7 @@ PREDS = [f"urn:p{i}" for i in range(4)]
 NUM_PRED = "urn:num"
 LITS = ["alpha", "beta", "gamma", "delta", "epsilon"]
 IRIS = [f"urn:o{i}" for i in range(5)]
+GRAPHS = ["urn:g0", "urn:g1"]
 
 
 def _data(rng: random.Random) -> list[tuple]:
@@ -41,19 +47,21 @@ def _data(rng: random.Random) -> list[tuple]:
         s = rng.choice(SUBJECTS)
         if rng.random() < 0.25:
             rows.append((s, NUM_PRED, str(rng.randint(0, 9)), XSD_INT,
-                         None, rng.choice(["g0", "g1"])))
+                         None, rng.choice(GRAPHS)))
         else:
             p = rng.choice(PREDS)
             o = rng.choice(LITS + IRIS)
-            rows.append((s, p, o, None, None, rng.choice(["g0", "g1"])))
+            rows.append((s, p, o, None, None, rng.choice(GRAPHS)))
     return sorted(set(rows))
 
 
 # ---------------------------------------------------------------- naive
 # evaluator: solution mappings as dicts, straight from the algebra
 
-def _match(pattern, row):
+def _match(pattern, row, graph=None):
     """triple pattern × data row → binding dict or None."""
+    if graph is not None and row[5] != graph:
+        return None
     out = {}
     for term, val in zip(pattern, row):
         kind, v = term
@@ -70,13 +78,14 @@ def _compatible(m1, m2):
     return all(m1[k] == m2[k] for k in m1.keys() & m2.keys())
 
 
-def _eval_bgp(patterns, rows):
+def _eval_bgp(patterns, rows, graphs=None):
     sols = [{}]
-    for pat in patterns:
+    for i, pat in enumerate(patterns):
+        g = graphs[i] if graphs else None
         nxt = []
         for mu in sols:
             for row in rows:
-                b = _match(pat, row)
+                b = _match(pat, row, g)
                 if b is not None and _compatible(mu, b):
                     nxt.append({**mu, **b})
         sols = nxt
@@ -101,8 +110,11 @@ def _eval_filter(flt, mu):
 
 
 def _eval_query(q, rows):
-    """q: dict(base, union, optional, filters, proj, distinct)."""
-    sols = _eval_bgp(q["base"], rows)
+    """q dict → list of projected tuples (post-DISTINCT when set)."""
+    sols = _eval_bgp(q["base"], rows, q["graphs"])
+    if q["bind"]:
+        src, new = q["bind"]
+        sols = [{**mu, new: mu[src].lower()} for mu in sols]
     if q["union"]:
         arm_a, arm_b = q["union"]
         usols = _eval_bgp(arm_a, rows) + _eval_bgp(arm_b, rows)
@@ -119,12 +131,17 @@ def _eval_query(q, rows):
             nxt.extend({**mu, **nu} for nu in exts) if exts else \
                 nxt.append(mu)
         sols = nxt
+    if q["minus"]:
+        msols = _eval_bgp([q["minus"]], rows)
+        sols = [mu for mu in sols
+                if not any(mu.keys() & nu.keys() and _compatible(mu, nu)
+                           for nu in msols)]
     for f in q["filters"]:
         sols = [mu for mu in sols if _eval_filter(f, mu)]
     tuples = [tuple(mu.get(v) for v in q["proj"]) for mu in sols]
     if q["distinct"]:
-        return Counter(set(tuples))
-    return Counter(tuples)
+        return list(set(tuples))
+    return tuples
 
 
 # ------------------------------------------------------------ generator
@@ -136,6 +153,10 @@ def _term_str(term):
     if kind == "iri":
         return f"<{v}>"
     return f'"{v}"'
+
+
+def _pat_str(pat):
+    return " ".join(_term_str(t) for t in pat)
 
 
 def _gen_pattern(rng, vars_seen, numeric=False):
@@ -169,31 +190,41 @@ def _gen_query(rng: random.Random):
     if not _pat_vars(base):                      # keep ≥1 projectable var
         base[0] = ((("var", "a")), base[0][1], base[0][2])
         vars_seen.add("a")
-    union = optional = None
+    graphs = [rng.choice(GRAPHS) if rng.random() < 0.2 else None
+              for _ in base]
+    base_vars = sorted(_pat_vars(base))
+    bind = None
+    if rng.random() < 0.3:
+        bind = (rng.choice(base_vars), "q")
+    union = optional = minus = None
     filters = []
     extra = rng.random()
-    if extra < 0.35:
+    if extra < 0.25:
         # two arms binding the SAME variable set, sharing ≥1 var with base
-        shared = ("var", rng.choice(sorted(_pat_vars(base)) or ["a"]))
+        shared = ("var", rng.choice(base_vars))
         ov = ("var", rng.choice("vwxy"))
         arm_a = [(shared, ("iri", rng.choice(PREDS)), ov)]
         arm_b = [(shared, ("iri", rng.choice(PREDS)), ov)]
         union = (arm_a, arm_b)
-        vars_seen |= _pat_vars(arm_a)
-    elif extra < 0.7:
-        anchor = rng.choice(sorted(_pat_vars(base)) or ["a"])
+    elif extra < 0.55:
+        anchor = rng.choice(base_vars)
         opat = [(("var", anchor), ("iri", rng.choice(PREDS)),
                  ("var", "z"))]
         oflts = []
         if rng.random() < 0.5:
             # filter referencing a LEFT-side variable (LeftJoin path)
-            lft = rng.choice(sorted(_pat_vars(base) - {"z"} or {anchor}))
+            lft = rng.choice(sorted(set(base_vars) - {"z"}) or [anchor])
             oflts.append(("!=", lft, rng.choice(LITS + IRIS), False))
         if rng.random() < 0.4:
             oflts.append(("contains", "z", rng.choice("aeop"), False))
         optional = (opat, oflts)
-        vars_seen |= {"z", anchor}
-    bound = _pat_vars(base) | (
+    elif extra < 0.75:
+        # MINUS anchored on an always-bound base variable
+        mo = (("var", "m") if rng.random() < 0.6
+              else ("lit", rng.choice(LITS)))
+        minus = (("var", rng.choice(base_vars)),
+                 ("iri", rng.choice(PREDS)), mo)
+    bound = set(base_vars) | ({"q"} if bind else set()) | (
         _pat_vars(union[0]) if union else set())
     if bound and rng.random() < 0.6:
         var = rng.choice(sorted(bound))
@@ -206,21 +237,26 @@ def _gen_query(rng: random.Random):
     projable = sorted(bound | ({"z"} if optional else set()))
     k = rng.randint(1, len(projable))
     proj = sorted(rng.sample(projable, k))
-    return {"base": base, "union": union, "optional": optional,
-            "filters": filters, "proj": proj,
-            "distinct": rng.random() < 0.4}
+    limit = rng.randint(1, 8) if rng.random() < 0.4 else None
+    return {"base": base, "graphs": graphs, "bind": bind, "union": union,
+            "optional": optional, "minus": minus, "filters": filters,
+            "proj": proj, "distinct": rng.random() < 0.4, "limit": limit}
 
 
 def _to_text(q):
-    lines = [" ".join(_term_str(t) for t in pat) + " ."
-             for pat in q["base"]]
+    lines = []
+    for pat, g in zip(q["base"], q["graphs"]):
+        if g is not None:
+            lines.append(f"GRAPH <{g}> {{ {_pat_str(pat)} . }}")
+        else:
+            lines.append(_pat_str(pat) + " .")
+    if q["bind"]:
+        src, new = q["bind"]
+        lines.append(f"BIND(LCASE(?{src}) AS ?{new})")
     if q["union"]:
         a, b = q["union"]
-        lines.append(
-            "{ " + " . ".join(" ".join(_term_str(t) for t in p)
-                              for p in a) + " } UNION { "
-            + " . ".join(" ".join(_term_str(t) for t in p)
-                         for p in b) + " }")
+        lines.append("{ " + " . ".join(map(_pat_str, a)) + " } UNION { "
+                     + " . ".join(map(_pat_str, b)) + " }")
 
     def flt(f):
         op, var, rhs, numeric = f
@@ -232,14 +268,24 @@ def _to_text(q):
 
     if q["optional"]:
         opats, oflts = q["optional"]
-        body = " . ".join(" ".join(_term_str(t) for t in p)
-                          for p in opats)
+        body = " . ".join(map(_pat_str, opats))
         body += " " + " ".join(flt(f) for f in oflts)
         lines.append("OPTIONAL { " + body + " }")
+    if q["minus"]:
+        lines.append("MINUS { " + _pat_str(q["minus"]) + " . }")
     lines += [flt(f) for f in q["filters"]]
     head = "SELECT " + ("DISTINCT " if q["distinct"] else "") + \
         " ".join(f"?{v}" for v in q["proj"])
-    return head + " WHERE {\n  " + "\n  ".join(lines) + "\n}"
+    tail = ""
+    if q["limit"] is not None:
+        tail = ("\nORDER BY " + " ".join(f"?{v}" for v in q["proj"])
+                + f" LIMIT {q['limit']}")
+    return head + " WHERE {\n  " + "\n  ".join(lines) + "\n}" + tail
+
+
+def _sort_key(tup):
+    # Spark ASC default: nulls first; strings ascending
+    return tuple((0, "") if v is None else (1, v) for v in tup)
 
 
 # ------------------------------------------------------------- the test
@@ -253,8 +299,13 @@ def test_sparql_differential_battery(spark, seed):
         q = _gen_query(rng)
         text = _to_text(q)
         expected = _eval_query(q, rows)
-        got = Counter(tuple(r[v] for v in q["proj"])
-                      for r in eng.query(text).collect())
-        assert got == expected, (
+        res = [tuple(r[v] for v in q["proj"])
+               for r in eng.query(text).collect()]
+        if q["limit"] is not None:
+            want = sorted(expected, key=_sort_key)[:q["limit"]]
+            ok = res == want
+        else:
+            want, ok = Counter(expected), Counter(res) == Counter(expected)
+        assert ok, (
             f"divergence (seed={seed}, query #{i}):\n{text}\n"
-            f"missing={expected - got}\nextra={got - expected}")
+            f"want={want}\ngot={res}")
