@@ -309,3 +309,105 @@ def test_sparql_differential_battery(spark, seed):
         assert ok, (
             f"divergence (seed={seed}, query #{i}):\n{text}\n"
             f"want={want}\ngot={res}")
+
+
+# --------------------------------------------- aggregate differential
+
+def _gen_agg_query(rng: random.Random):
+    vars_seen: set = set()
+    numeric = rng.random() < 0.4
+    base = [_gen_pattern(rng, vars_seen, numeric=numeric)]
+    if rng.random() < 0.5:
+        base.append(_gen_pattern(rng, vars_seen))
+    # group on a subject-position var when possible, else any var
+    gvars = sorted(_pat_vars(base))
+    g = rng.choice(gvars)
+    # aggregate over an object var distinct from the group var
+    avars = sorted(_pat_vars(base) - {g})
+    a = rng.choice(avars) if avars else None
+    choices = ["count_star"]
+    if a:
+        choices += ["count_distinct", "min", "max"]
+        if numeric and a in "vwxy":
+            choices.append("sum")
+    agg = rng.choice(choices)
+    having = rng.randint(1, 3) if rng.random() < 0.3 else None
+    limit = rng.randint(1, 5) if rng.random() < 0.5 else None
+    agg_first = rng.random() < 0.5
+    return {"base": base, "group": g, "aggvar": a, "agg": agg,
+            "having": having, "limit": limit, "agg_first": agg_first}
+
+
+def _agg_text(q):
+    g, a = q["group"], q["aggvar"]
+    expr = {"count_star": "COUNT(*)",
+            "count_distinct": f"COUNT(DISTINCT ?{a})",
+            "min": f"MIN(?{a})", "max": f"MAX(?{a})",
+            "sum": f"SUM(?{a})"}[q["agg"]]
+    cols = [f"({expr} AS ?agg)", f"?{g}"]
+    if not q["agg_first"]:
+        cols.reverse()
+    text = ("SELECT " + " ".join(cols) + " WHERE {\n  "
+            + "\n  ".join(_pat_str(p) + " ." for p in q["base"])
+            + "\n} GROUP BY ?" + g)
+    if q["having"] is not None:
+        text += f" HAVING(COUNT(*) > {q['having']})"
+    if q["limit"] is not None:
+        # totally ordered: count desc (an aggregate in ORDER BY), group asc
+        text += f" ORDER BY DESC(COUNT(*)) ?{g} LIMIT {q['limit']}"
+    return text
+
+
+def _agg_eval(q, rows):
+    sols = _eval_bgp(q["base"], rows)
+    groups: dict = {}
+    for mu in sols:
+        groups.setdefault(mu[q["group"]], []).append(mu)
+    out = []
+    for gval, mus in sorted(groups.items()):
+        if q["having"] is not None and len(mus) <= q["having"]:
+            continue
+        a = q["aggvar"]
+        vals = [mu[a] for mu in mus if a and a in mu]
+        if q["agg"] == "count_star":
+            agg = len(mus)
+        elif q["agg"] == "count_distinct":
+            agg = len(set(vals))
+        elif q["agg"] == "sum":
+            agg = sum(float(v) for v in vals)
+        else:
+            try:                       # all-numeric → numeric ordering
+                keyed = sorted(vals, key=lambda v: (float(v), v))
+            except ValueError:
+                keyed = sorted(vals)   # else lexical
+            agg = keyed[0] if q["agg"] == "min" else keyed[-1]
+        out.append((gval, agg, len(mus)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_sparql_aggregate_differential(spark, seed):
+    rng = random.Random(seed)
+    rows = _data(rng)
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    for i in range(12):
+        q = _gen_agg_query(rng)
+        text = _agg_text(q)
+        expected = _agg_eval(q, rows)
+        df = eng.query(text)
+        # projection order follows the query text
+        want_cols = ["agg", q["group"]]
+        if not q["agg_first"]:
+            want_cols.reverse()
+        assert df.columns == want_cols, text
+        got = [(r[q["group"]], r["agg"]) for r in df.collect()]
+        if q["limit"] is not None:
+            want = [(g, a) for g, a, n in
+                    sorted(expected, key=lambda t: (-t[2], t[0]))
+                    ][:q["limit"]]
+            ok = got == want
+        else:
+            want = {(g, a) for g, a, _ in expected}
+            ok = set(got) == want and len(got) == len(want)
+        assert ok, (f"divergence (seed={seed}, query #{i}):\n{text}\n"
+                    f"want={want}\ngot={got}")
