@@ -29,8 +29,11 @@ tests) uses the fragment implemented here:
 - filter/bind expressions: comparisons (numeric literals compare
   numerically via try_cast, ISO dateTime strings lexically — the
   store's canonical form), ``&& || !``, ``IN``, ``CONTAINS``,
-  ``STRSTARTS``, ``STRLEN``, ``LCASE``, ``UCASE``, ``STR``, ``REGEX``,
-  ``BOUND``, ``IF``, ``EXISTS { }`` / ``NOT EXISTS { }``;
+  ``STRSTARTS``, ``STRENDS``, ``STRLEN``, ``LCASE``, ``UCASE``,
+  ``STR``, ``CONCAT``, ``COALESCE``, ``SUBSTR``, ``REPLACE``,
+  ``STRBEFORE``/``STRAFTER`` (literal separators), ``ABS``/``ROUND``/
+  ``CEIL``/``FLOOR``, ``REGEX``, ``BOUND``, ``IF``,
+  ``EXISTS { }`` / ``NOT EXISTS { }``;
 - solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
   hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
   ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``,
@@ -554,9 +557,11 @@ class _Parser:
             return ("not", ("in", e, items))
         return e
 
-    _FUNCS = {"CONTAINS": 2, "STRSTARTS": 2, "STRLEN": 1, "LCASE": 1,
-              "UCASE": 1, "STR": 1, "BOUND": 1, "REGEX": (2, 3),
-              "IF": 3}
+    _FUNCS = {"CONTAINS": 2, "STRSTARTS": 2, "STRENDS": 2, "STRLEN": 1,
+              "LCASE": 1, "UCASE": 1, "STR": 1, "BOUND": 1,
+              "REGEX": (2, 3), "IF": 3, "CONCAT": None, "COALESCE": None,
+              "SUBSTR": (2, 3), "REPLACE": (3, 4), "STRBEFORE": 2,
+              "STRAFTER": 2, "ABS": 1, "ROUND": 1, "CEIL": 1, "FLOOR": 1}
 
     def _unary(self):
         kind, val = self._peek()
@@ -588,8 +593,9 @@ class _Parser:
                     args.append(self._expr())
                 self._expect("op", ")")
                 want = self._FUNCS[up]
-                ok = (len(args) in want) if isinstance(want, tuple) \
-                    else len(args) == want
+                ok = (True if want is None else
+                      (len(args) in want) if isinstance(want, tuple)
+                      else len(args) == want)
                 if not ok:
                     raise ValueError(f"{up} arity {len(args)}")
                 return ("func", up, args)
@@ -1386,6 +1392,51 @@ class SparqlEngine:
                 return cargs[0].contains(cargs[1])
             if name == "STRSTARTS":
                 return cargs[0].startswith(cargs[1])
+            if name == "STRENDS":
+                return cargs[0].endswith(cargs[1])
+            if name == "CONCAT":
+                return F.concat(*cargs)
+            if name == "COALESCE":
+                return F.coalesce(*cargs)
+            if name == "SUBSTR":
+                # SPARQL SUBSTR is 1-based like Spark's substr; both
+                # position args take Columns, so non-literals work too
+                length = cargs[2] if len(cargs) == 3 \
+                    else F.lit(2 ** 31 - 1)
+                return cargs[0].substr(cargs[1].cast("int"),
+                                       length.cast("int"))
+            if name in ("STRBEFORE", "STRAFTER"):
+                pat = e[2][1]
+                if pat[0] != "lit":
+                    raise ValueError(f"{name} separator must be a literal")
+                sep = pat[1]
+                if not sep:                  # empty separator, per spec
+                    return F.lit("") if name == "STRBEFORE" else cargs[0]
+                pos = F.locate(sep, cargs[0])     # 1-based; 0 = absent
+                hit = pos > 0
+                before = cargs[0].substr(F.lit(1), pos - 1)
+                after = cargs[0].substr(pos + len(sep),
+                                        F.lit(2 ** 31 - 1))
+                return F.when(hit, before if name == "STRBEFORE"
+                              else after).otherwise(F.lit(""))
+            if name == "REPLACE":
+                pat = e[2][1]
+                if pat[0] != "lit":
+                    raise ValueError("REPLACE pattern must be a literal")
+                rx = pat[1]
+                if len(e[2]) == 4:
+                    flags = e[2][3]
+                    if flags[0] == "lit" and "i" in flags[1]:
+                        rx = "(?i)" + rx
+                repl = e[2][2]
+                if repl[0] != "lit":
+                    raise ValueError(
+                        "REPLACE replacement must be a literal")
+                return F.regexp_replace(cargs[0], rx, repl[1])
+            if name in ("ABS", "ROUND", "CEIL", "FLOOR"):
+                n = cargs[0].try_cast("double")
+                return {"ABS": F.abs(n), "ROUND": F.round(n, 0),
+                        "CEIL": F.ceil(n), "FLOOR": F.floor(n)}[name]
             if name == "STRLEN":
                 return F.length(cargs[0])
             if name == "LCASE":

@@ -634,3 +634,40 @@ def test_group_by_projection_order(eng):
     q = eng.query(P + """SELECT (COUNT(*) AS ?c) ?type WHERE {
         ?m a ?type . } GROUP BY ?type""")
     assert q.columns == ["c", "type"]
+
+
+def test_string_and_numeric_builtins(spark):
+    """STRENDS / CONCAT / COALESCE / SUBSTR / REPLACE / STRBEFORE /
+    STRAFTER / ABS / ROUND / CEIL / FLOOR in FILTER and BIND position."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [("urn:a", "urn:name", "hello world", None, None, None),
+            ("urn:a", "urn:num", "-2.6", xsd_int, None, None),
+            ("urn:b", "urn:name", "goodbye", None, None, None)]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    r = eng.query("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(STRENDS(?n, "world")) }""").collect()
+    assert [x["s"] for x in r] == ["urn:a"]
+    r = eng.query("""SELECT ?s ?c ?b ?af ?sub WHERE {
+        ?s <urn:name> ?n .
+        BIND(CONCAT(?n, "!", STR(1)) AS ?c)
+        BIND(STRBEFORE(?n, " ") AS ?b)
+        BIND(STRAFTER(?n, " ") AS ?af)
+        BIND(SUBSTR(?n, 1, 5) AS ?sub)
+        FILTER(CONTAINS(?n, " ")) }""").collect()
+    assert [(x["c"], x["b"], x["af"], x["sub"]) for x in r] == [
+        ("hello world!1", "hello", "world", "hello")]
+    # absent separator → "" per spec; REPLACE with case-insensitive flag
+    r = eng.query("""SELECT ?b ?rep WHERE { <urn:b> <urn:name> ?n .
+        BIND(STRBEFORE(?n, "@") AS ?b)
+        BIND(REPLACE(?n, "GOOD", "fare", "i") AS ?rep) }""").collect()
+    assert (r[0]["b"], r[0]["rep"]) == ("", "farebye")
+    r = eng.query("""SELECT ?abs ?rnd ?ceil ?floor WHERE {
+        ?s <urn:num> ?v .
+        BIND(ABS(?v) AS ?abs)  BIND(ROUND(?v) AS ?rnd)
+        BIND(CEIL(?v) AS ?ceil) BIND(FLOOR(?v) AS ?floor) }""").collect()
+    assert (r[0]["abs"], r[0]["rnd"], r[0]["ceil"], r[0]["floor"]) == \
+        (2.6, -3.0, -2, -3)
+    r = eng.query("""SELECT ?x WHERE { ?s <urn:name> ?n .
+        OPTIONAL { ?s <urn:missing> ?m }
+        BIND(COALESCE(?m, ?n) AS ?x) } ORDER BY ?x""").collect()
+    assert [x["x"] for x in r] == ["goodbye", "hello world"]
