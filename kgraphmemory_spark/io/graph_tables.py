@@ -56,7 +56,10 @@ def write_graph_tables(kg, root: str, buckets: int = 64) -> dict[str, int]:
         (out.repartition(min(buckets, 64), "id_bucket")
             .write.mode("overwrite").partitionBy("id_bucket")
             .parquet(f"{root}/{table}"))
-        counts[table] = df.count()
+        # count the just-written parquet (footer metadata, near-free) —
+        # counting df would re-run its whole upstream plan a second time
+        counts[table] = df.sparkSession.read.parquet(
+            f"{root}/{table}").count()
     return counts
 
 

@@ -100,6 +100,10 @@ class _Ctx:
         if ":" in name:
             pfx, local = name.split(":", 1)
             if pfx in self.terms and not local.startswith("//"):
+                if "@id" not in self.terms[pfx]:
+                    raise ValueError(
+                        f"term {pfx!r} is reverse-only (no @id) and "
+                        "cannot be used as a compact-IRI prefix")
                 return self.terms[pfx]["@id"] + local
             return name                      # already an absolute IRI
         if self.base:
@@ -132,6 +136,10 @@ class _Ctx:
         B+word.  A bare word with no term/prefix/@vocab raises, matching
         the module's raise-on-unsupported posture."""
         if name in self.terms:
+            if "@id" not in self.terms[name]:
+                raise ValueError(
+                    f"term {name!r} is reverse-only (no @id) and cannot "
+                    "be an @type value")
             return self._expand_ref(self.terms[name]["@id"])
         if ":" in name:
             return self._expand_ref(name)

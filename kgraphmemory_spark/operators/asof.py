@@ -79,7 +79,12 @@ def asof_join(
     lt = left.select(
         *keys, F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
         lpay.alias("__lrow"), F.lit(None).cast(rtype).alias("__rrow"))
-    rt = right.select(
+    # a NULL timestamp can never be a valid match (DuckDB ASOF and pandas
+    # merge_asof never match null keys): drop null-ts right rows — under
+    # ascending ordering Spark sorts nulls FIRST, so one would otherwise
+    # become the "latest prior" row for every left row with no real
+    # predecessor — and null the match for null-ts left rows below
+    rt = right.where(F.col(ts).isNotNull()).select(
         *keys, F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
         F.lit(None).cast(ltype).alias("__lrow"), rpay.alias("__rrow"))
 
@@ -90,7 +95,9 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = (lt.unionByName(rt)
          .withColumn("__match", F.last("__rrow", ignorenulls=True).over(w))
-         .where(F.col("__side") == 1))
+         .where(F.col("__side") == 1)
+         .withColumn("__match", F.when(F.col("__ts").isNotNull(),
+                                       F.col("__match"))))
 
     if tolerance_s is not None:
         gap = F.abs(F.col("__ts").cast("double")

@@ -148,58 +148,72 @@ def connected_components(
     round_edges: list[int] = []
     prev = (-1, 0)
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        _t0 = _time.time()
-        # -- large star: for each u, link every neighbor v > u to
-        #    m = min(neighborhood ∪ {u}).  Round 1 skips the re-union: the
-        #    input is already the symmetric closure, and doubling it only
-        #    doubles the heaviest round's shuffle volume.
-        if rounds == 1:
-            sym = e
-        else:
-            sym = e.union(
-                e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u").agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
-        # shuffle-hash hint: mins is one row per node — building a hash
-        # map per partition beats sort-merge's full sort of the (much
-        # larger) edge side every round
-        e = (
-            sym.join(mins.hint("shuffle_hash"), "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # -- small star: orient edges high→low, link every low neighbor
-        #    (and u itself) to the min
-        lo = e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        mins = lo.groupBy("u").agg(F.min("v").alias("m"))
-        e = (
-            lo.join(mins.hint("shuffle_hash"), "u")
-            .select(F.col("v").alias("n"), F.col("m"))
-            .union(mins.select(F.col("u").alias("n"), F.col("m")))
-            .where(F.col("n") != F.col("m"))
-            .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        e = e.localCheckpoint(eager=True)
-        cur = _checksum(e)
-        round_secs.append(round(_time.time() - _t0, 2))
-        round_edges.append(cur[0])
-        if cur == prev:
-            break
-        prev = cur
-    spark.conf.set("spark.sql.shuffle.partitions", saved_width)
+    converged = False
+    try:
+        for _ in range(max_iter):
+            rounds += 1
+            _t0 = _time.time()
+            # -- large star: for each u, link every neighbor v > u to
+            #    m = min(neighborhood ∪ {u}).  Round 1 skips the re-union:
+            #    the input is already the symmetric closure, and doubling
+            #    it only doubles the heaviest round's shuffle volume.
+            if rounds == 1:
+                sym = e
+            else:
+                sym = e.union(
+                    e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = (
+                sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m"))
+            )
+            # shuffle-hash hint: mins is one row per node — building a
+            # hash map per partition beats sort-merge's full sort of the
+            # (much larger) edge side every round
+            e = (
+                sym.join(mins.hint("shuffle_hash"), "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # -- small star: orient edges high→low, link every low
+            #    neighbor (and u itself) to the min
+            lo = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).distinct()
+            mins = lo.groupBy("u").agg(F.min("v").alias("m"))
+            e = (
+                lo.join(mins.hint("shuffle_hash"), "u")
+                .select(F.col("v").alias("n"), F.col("m"))
+                .union(mins.select(F.col("u").alias("n"), F.col("m")))
+                .where(F.col("n") != F.col("m"))
+                .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            e = e.localCheckpoint(eager=True)
+            cur = _checksum(e)
+            round_secs.append(round(_time.time() - _t0, 2))
+            round_edges.append(cur[0])
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    finally:
+        # restore even when a round's job dies — a leaked 1-partition
+        # pin would silently serialize the rest of the session
+        spark.conf.set("spark.sql.shuffle.partitions", saved_width)
     if stats is not None:
         stats["rounds"] = rounds
         stats["round_secs"] = round_secs
         stats["round_edges"] = round_edges
+        stats["converged"] = converged
+    if not converged:
+        # an unconverged edge set still contains intermediate star edges —
+        # returning it would silently split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({round_edges[-1] if round_edges else 0} edges left); "
+            "raise max_iter (rounds needed ≈ O(log n))")
 
     # after convergence every edge is (node → component-min); nodes that
     # only appeared in self-loops / singleton inputs map to themselves

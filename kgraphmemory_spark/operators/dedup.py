@@ -82,7 +82,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int,
             hash_fn: str) -> DataFrame:
-    """Wide signatures → (id, band, band_hash) via one explode."""
+    """Wide signatures → (id, band, band_hash) via one explode.
+
+    The signature/banding pass is the dominant cost of both LSH
+    operators and both consume the result twice (self-join / bucket-min
+    + probe), so the output is lazily localCheckpointed — computed once
+    on first action, reused from blocks after."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(rows-per-band = num_hashes/bands; a non-divisor silently "
+            "drops hashes, and bands > num_hashes would hash zero rows "
+            "per band, collapsing every document into one bucket)")
     r = num_hashes // bands
     def band_hash(b: int) -> Column:
         joined = F.concat_ws("|", *[F.col(f"h{b * r + i}").cast("string")
@@ -96,6 +107,7 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int,
         sig.select("id", F.explode(arr).alias("bh"))
         .select("id", F.col("bh.band").alias("band"),
                 F.col("bh.band_hash").alias("band_hash"))
+        .localCheckpoint(eager=False)
     )
 
 

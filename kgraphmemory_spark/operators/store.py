@@ -232,8 +232,10 @@ def clear(triples: DataFrame, graph: str | None = None) -> DataFrame:
 def update_object(triples: DataFrame, new_object_triples: DataFrame,
                   uri: str) -> DataFrame:
     """S3 `update_object` = delete subject's triples + re-add
-    (kgraph.py:116-145); at scale this is an Iceberg MERGE keyed on subject."""
-    return triples.where(F.col("subject") != uri).unionByName(
+    (kgraph.py:116-145); at scale this is an Iceberg MERGE keyed on subject.
+    Null-safe like remove_triples: a NULL-subject row never matches the
+    uri, so it survives (plain ``!=`` would silently drop it)."""
+    return triples.where(~F.col("subject").eqNullSafe(uri)).unionByName(
         new_object_triples.where(F.col("subject") == uri), allowMissingColumns=True)
 
 

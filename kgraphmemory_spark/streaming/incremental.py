@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datagen import PAGE_SCHEMA
-from ..io.snapshots import SnapshotCatalog
+from ..io.snapshots import MANIFEST, SnapshotCatalog
 from ..operators.cc import canonical_mapping, merge_components
 from ..operators.extraction import extract_docs, extract_mentions, extract_raw_triples
 from ..operators.linking import discovered_alias_table, link_mentions, rank_candidates
@@ -110,15 +110,33 @@ def _accumulated(spark: SparkSession, workdir: str):
     return docs, mentions, raw_triples
 
 
+def _accum_token(spark: SparkSession, workdir: str) -> str:
+    """Fingerprint of the accumulation state — (distinct epochs, max
+    epoch) from the per-batch lineage, one metadata-scale read.  Snapshot
+    catalogs are keyed by it, so a finalize over a GROWN accumulation
+    never short-circuits on manifests committed for an older one (the
+    stale-mix hazard), while a crash-resume over the SAME accumulation
+    still resumes.  Replayed micro-batches re-append the same epoch id,
+    so the token is replay-stable."""
+    row = spark.read.parquet(_stream_dir(workdir, "lineage")).agg(
+        F.count_distinct("epoch").alias("n"),
+        F.max("epoch").alias("mx")).collect()[0]
+    return f"e{int(row['n'])}_{int(row['mx'])}"
+
+
 def finalize(spark: SparkSession, workdir: str,
              link_strategy: str = "broadcast",
              graph: str = DEFAULT_GRAPH) -> KGTables:
     """Run the global stages over everything streamed so far.  Replayed
     micro-batches are collapsed here by natural-key dedup, so the result is
-    identical to the batch pipeline over the same pages."""
+    identical to the batch pipeline over the same pages.  The snapshot
+    catalog is scoped to the current accumulation (``_accum_token``):
+    ingest-more-then-finalize-again recomputes in a fresh catalog instead
+    of returning the previous cycle's committed tables."""
     docs, mentions, raw_triples = _accumulated(spark, workdir)
 
-    cat = SnapshotCatalog(os.path.join(workdir, "final"))
+    cat = SnapshotCatalog(os.path.join(
+        workdir, f"final_{_accum_token(spark, workdir)}"))
     alias = cat.stage(spark, "alias_table",
                       lambda: discovered_alias_table(mentions))
     linked = cat.stage(spark, "linked",
@@ -155,15 +173,25 @@ def finalize(spark: SparkSession, workdir: str,
     )
 
 
-def _generations(workdir: str) -> list[int]:
-    base = os.path.join(workdir, "final_v")
-    out = []
-    parent = os.path.dirname(base)
-    if os.path.isdir(parent):
-        for name in os.listdir(parent):
+def _generations(workdir: str) -> tuple[list[int], int]:
+    """→ (committed generation indices, next free index).  A generation
+    counts as committed only when its ``canonical_map`` manifest exists —
+    SnapshotCatalog eagerly creates the directory, so a run killed before
+    the canonical stage commits must be neither read as a predecessor nor
+    resumed (its earlier stages may reflect a smaller accumulation); the
+    next call starts a fresh generation and deltas from the last COMMITTED
+    one."""
+    committed, seen = [], []
+    if os.path.isdir(workdir):
+        for name in os.listdir(workdir):
             if name.startswith("final_v") and name[len("final_v"):].isdigit():
-                out.append(int(name[len("final_v"):]))
-    return sorted(out)
+                idx = int(name[len("final_v"):])
+                seen.append(idx)
+                manifest = os.path.join(workdir, name, "canonical_map",
+                                        MANIFEST)
+                if os.path.exists(manifest):
+                    committed.append(idx)
+    return sorted(committed), (max(seen) + 1 if seen else 0)
 
 
 def finalize_incremental(spark: SparkSession, workdir: str,
@@ -188,8 +216,7 @@ def finalize_incremental(spark: SparkSession, workdir: str,
     ``canonical_map:delta`` marker when the delta path ran (observability
     for tests)."""
     docs, mentions, raw_triples = _accumulated(spark, workdir)
-    gens = _generations(workdir)
-    gen = (gens[-1] + 1) if gens else 0
+    gens, gen = _generations(workdir)
     cat = SnapshotCatalog(os.path.join(workdir, f"final_v{gen}"))
     markers: list[str] = []
 

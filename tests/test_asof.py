@@ -89,3 +89,24 @@ def test_asof_arg_validation(spark):
         asof_join(l, r, on="k", ts="ts", direction="nearest")
     with pytest.raises(ValueError, match="must exist"):
         asof_join(l, r.withColumnRenamed("k", "kk"), on="k", ts="ts")
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """A NULL-ts right row must never be anyone's match (DuckDB ASOF /
+    pandas semantics), and a NULL-ts left row gets no match — in both
+    directions."""
+    ts = T0 + dt.timedelta(hours=1)
+    l = spark.createDataFrame(
+        [("a", ts, 1.0), ("a", None, 2.0)],
+        "k string, ts timestamp, lv double")
+    r = spark.createDataFrame(
+        [("a", None, 5.0), ("a", ts + dt.timedelta(hours=1), 7.0)],
+        "k string, ts timestamp, rv double")
+    back = {r_.lv: r_.r_rv for r_ in
+            asof_join(l, r, on="k", ts="ts").collect()}
+    # left@ts has no prior real right row; the NULL-ts right row (which
+    # ascending sort puts FIRST) must not be picked
+    assert back == {1.0: None, 2.0: None}
+    fwd = {r_.lv: r_.r_rv for r_ in
+           asof_join(l, r, on="k", ts="ts", direction="forward").collect()}
+    assert fwd == {1.0: 7.0, 2.0: None}

@@ -200,3 +200,26 @@ def test_driver_cutover_is_bytes_aware(spark):
     stats2: dict = {}
     cc(edges, stats=stats2).collect()
     assert stats2["path"] == "driver"  # default cap keeps small graphs fast
+
+
+def test_non_convergence_raises_and_conf_restored(spark):
+    """Exhausting max_iter must raise (an unconverged star-edge set would
+    silently split components) and the pinned shuffle width must be
+    restored even then."""
+    import pytest
+    from kgraphmemory_spark.operators.cc import connected_components as cc
+    saved = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    # long path graph: diameter forces more than one alternating round
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)],
+        "src string, dst string")
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc(edges, max_iter=1, driver_threshold=0, stats=stats)
+    assert stats["converged"] is False
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    stats_ok: dict = {}
+    got = cc(edges, driver_threshold=0, stats=stats_ok)
+    assert stats_ok["converged"] is True
+    assert got.select("component").distinct().count() == 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved

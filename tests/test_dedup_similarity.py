@@ -153,3 +153,15 @@ def test_ivf_topk_recall_vs_brute_force(vectors):
     indexed, cents = S.ivf_index(vectors, dim=16, n_centroids=4)
     ivf = [r.vec_id for r in S.ivf_topk(indexed, cents, q, k=3, nprobe=4).collect()]
     assert ivf == bf  # nprobe = all clusters → exact
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    """bands > num_hashes would hash zero rows per band (constant band
+    hash → every doc in one bucket, silent mass dedup); non-divisors
+    silently drop hashes — both raise."""
+    from kgraphmemory_spark.operators.dedup import minhash_lsh_candidates
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(df, "id", "text", num_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(df, "id", "text", num_hashes=32, bands=10)

@@ -481,3 +481,17 @@ def test_jsonld_reverse_literal_raises():
             '"@reverse": {"ex:p": 5}}')
     with pytest.raises(ValueError, match="node references"):
         parse_jsonld_text(doc2)
+
+
+def test_jsonld_reverse_only_term_misuse_raises():
+    """A reverse-only term ({'@reverse': iri}, no @id) used as a compact
+    IRI prefix or @type value raises a clear ValueError instead of an
+    executor KeyError."""
+    with pytest.raises(ValueError, match="reverse-only"):
+        parse_jsonld_text(
+            '{"@context": {"p": {"@reverse": "http://x/rel"}}, '
+            '"@id": "p:a", "http://x/q": "v"}')
+    with pytest.raises(ValueError, match="reverse-only"):
+        parse_jsonld_text(
+            '{"@context": {"p": {"@reverse": "http://x/rel"}}, '
+            '"@id": "http://y/a", "@type": "p"}')

@@ -256,3 +256,20 @@ def test_apply_update_delete_insert(spark, triples):
     # untouched rows survive; no-op update is identity
     assert out.count() == triples.count()  # -1 deleted +1 inserted
     assert apply_update(triples).count() == triples.count()
+
+
+def test_update_object_preserves_null_subject_rows(spark):
+    """update_object's delete arm is null-safe like remove_triples: a
+    NULL-subject row never matches the uri and must survive."""
+    from kgraphmemory_spark.operators.store import update_object
+    t = spark.createDataFrame(
+        [("urn:a", "urn:p", "old", None, None, None),
+         (None, "urn:p", "keep", None, None, None)],
+        "subject string, predicate string, object string, "
+        "obj_datatype string, obj_lang string, graph string")
+    new = spark.createDataFrame(
+        [("urn:a", "urn:p", "new", None, None, None)],
+        "subject string, predicate string, object string, "
+        "obj_datatype string, obj_lang string, graph string")
+    got = {(r.subject, r.object) for r in update_object(t, new, "urn:a").collect()}
+    assert got == {("urn:a", "new"), (None, "keep")}

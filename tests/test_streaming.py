@@ -59,8 +59,10 @@ def test_replay_is_idempotent(spark, streamed):
     spark.read.parquet(men_dir).where(F.col("_epoch") == 0) \
         .write.mode("append").parquet(men_dir)
 
+    import glob
     import shutil
-    shutil.rmtree(f"{workdir}/final")  # drop finalize snapshots, recompute
+    for d in glob.glob(f"{workdir}/final_*"):  # drop finalize snapshots
+        shutil.rmtree(d)                       # (token-keyed catalogs)
     again = finalize(spark, workdir)
     after = {tuple(r) for r in again.relations.collect()}
     assert after == before
@@ -121,3 +123,58 @@ def test_incremental_finalize_equals_batch_over_three_batches(
             s = {tuple(r) for r in getattr(kg_inc, name).collect()}
             b = {tuple(r) for r in getattr(kg_batch, name).collect()}
             assert s == b, (k, name)
+
+
+def test_finalize_recomputes_after_more_batches(spark, tmp_path):
+    """finalize → ingest more → finalize again must reflect the grown
+    accumulation (the snapshot catalog is keyed by the accumulation
+    fingerprint, so the second call cannot short-circuit on the first
+    call's committed manifests)."""
+    input_dir = str(tmp_path / "pages_in")
+    workdir = str(tmp_path / "work")
+    rows = datagen.generate_pages_rows(30, seed=21)
+    spark.createDataFrame(rows[:15], schema=datagen.PAGE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, workdir)
+    kg1 = finalize(spark, workdir)
+    n1 = kg1.entities.count()
+    spark.createDataFrame(rows[15:], schema=datagen.PAGE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, workdir)
+    kg2 = finalize(spark, workdir)
+    batch = run_pipeline(
+        spark, spark.createDataFrame(rows, schema=datagen.PAGE_SCHEMA))
+    s = {tuple(r) for r in kg2.entities.collect()}
+    b = {tuple(r) for r in batch.entities.collect()}
+    assert s == b and len(s) >= n1
+
+
+def test_incremental_skips_crashed_generation(spark, tmp_path):
+    """A generation directory whose canonical_map never committed (run
+    died mid-finalize) must be neither resumed nor used as the delta
+    predecessor — the next call starts a fresh generation and still
+    equals batch."""
+    import os
+
+    from kgraphmemory_spark.streaming.incremental import finalize_incremental
+
+    input_dir = str(tmp_path / "pages_in")
+    workdir = str(tmp_path / "work")
+    rows = datagen.generate_pages_rows(30, seed=31)
+    spark.createDataFrame(rows[:15], schema=datagen.PAGE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, workdir)
+    finalize_incremental(spark, workdir)                  # committed gen 0
+    # simulate a crash mid-generation: the dir exists, nothing committed
+    os.makedirs(os.path.join(workdir, "final_v1", "alias_table"))
+    spark.createDataFrame(rows[15:], schema=datagen.PAGE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, workdir)
+    kg = finalize_incremental(spark, workdir)             # → fresh gen 2
+    assert "canonical_map:delta" in kg.stages_resumed     # delta from v0
+    assert os.path.isdir(os.path.join(workdir, "final_v2"))
+    batch = run_pipeline(
+        spark, spark.createDataFrame(rows, schema=datagen.PAGE_SCHEMA))
+    s = {tuple(r) for r in kg.relations.collect()}
+    b = {tuple(r) for r in batch.relations.collect()}
+    assert s == b
