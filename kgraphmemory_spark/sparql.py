@@ -11,7 +11,8 @@ tests) uses the fragment implemented here:
 - prologue ``PREFIX``; ``SELECT [DISTINCT]`` with plain variables,
   ``*``, and ``(expr AS ?v)`` projections; aggregates ``COUNT(*)``,
   ``COUNT([DISTINCT] ?v)``, ``SUM/MIN/MAX/AVG(?v)``,
-  ``GROUP_CONCAT(?v [; SEPARATOR "s"])``;
+  ``GROUP_CONCAT(?v [; SEPARATOR "s"])``, ``SAMPLE(?v)``
+  (deterministic: the lexical minimum);
 - property paths (SPARQL 1.1 §9): sequence ``p1/p2`` (pairwise join),
   alternative ``p1|p2`` (union), inverse ``^p`` (swap), grouping
   ``(...)``, negated property sets ``!iri`` / ``!(iri|^iri|...)``
@@ -33,6 +34,11 @@ tests) uses the fragment implemented here:
   ``STR``, ``CONCAT``, ``COALESCE``, ``SUBSTR``, ``REPLACE``,
   ``STRBEFORE``/``STRAFTER`` (literal separators), ``ABS``/``ROUND``/
   ``CEIL``/``FLOOR``, ``REGEX``, ``BOUND``, ``IF``,
+  ``MD5``/``SHA1``/``SHA256``/``SHA384``/``SHA512`` (UTF-8 lexical
+  form, lowercase hex), ``ENCODE_FOR_URI``, dateTime components
+  ``YEAR``/``MONTH``/``DAY``/``HOURS``/``MINUTES``/``SECONDS``/``TZ``
+  (lexical extraction from the canonical ISO form — never routed
+  through the session timezone),
   ``EXISTS { }`` / ``NOT EXISTS { }``;
 - solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
   hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
@@ -561,7 +567,10 @@ class _Parser:
               "LCASE": 1, "UCASE": 1, "STR": 1, "BOUND": 1,
               "REGEX": (2, 3), "IF": 3, "CONCAT": None, "COALESCE": None,
               "SUBSTR": (2, 3), "REPLACE": (3, 4), "STRBEFORE": 2,
-              "STRAFTER": 2, "ABS": 1, "ROUND": 1, "CEIL": 1, "FLOOR": 1}
+              "STRAFTER": 2, "ABS": 1, "ROUND": 1, "CEIL": 1, "FLOOR": 1,
+              "MD5": 1, "SHA1": 1, "SHA256": 1, "SHA384": 1, "SHA512": 1,
+              "ENCODE_FOR_URI": 1, "YEAR": 1, "MONTH": 1, "DAY": 1,
+              "HOURS": 1, "MINUTES": 1, "SECONDS": 1, "TZ": 1}
 
     def _unary(self):
         kind, val = self._peek()
@@ -749,7 +758,8 @@ class _Parser:
         q.update(self._modifiers(sub=sub))
         return q
 
-    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT")
+    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT",
+             "SAMPLE")
 
     def _agg_or_expr(self):
         kind, val = self._peek()
@@ -1459,6 +1469,39 @@ class SparqlEngine:
                 return cargs[0].rlike(rx)
             if name == "IF":
                 return F.when(cargs[0], cargs[1]).otherwise(cargs[2])
+            if name == "MD5":
+                return F.md5(cargs[0].cast("binary"))
+            if name == "SHA1":
+                return F.sha1(cargs[0].cast("binary"))
+            if name in ("SHA256", "SHA384", "SHA512"):
+                return F.sha2(cargs[0].cast("binary"), int(name[3:]))
+            if name == "ENCODE_FOR_URI":
+                # Spark's url_encode is form-encoding; patch the three
+                # spots where RFC 3986 (SPARQL's rule: unreserved =
+                # ALPHA / DIGIT / "-" / "." / "_" / "~") disagrees
+                enc = F.url_encode(cargs[0])
+                enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+                enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+                return F.replace(enc, F.lit("%7E"), F.lit("~"))
+            if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                        "SECONDS", "TZ"):
+                # component extraction is LEXICAL on the store's
+                # canonical ISO dateTime form — no to_timestamp, so the
+                # session timezone can never shift the literal's own
+                # fields (SPARQL operates on the literal's components)
+                rx = {"YEAR": r"^(-?\d{4,})-",
+                      "MONTH": r"^-?\d{4,}-(\d{2})-",
+                      "DAY": r"^-?\d{4,}-\d{2}-(\d{2})",
+                      "HOURS": r"[T ](\d{2}):",
+                      "MINUTES": r"[T ]\d{2}:(\d{2})",
+                      "SECONDS": r"[T ]\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+                      "TZ": r"(Z|[+-]\d{2}:\d{2})$"}[name]
+                part = F.regexp_extract(cargs[0], rx, 1)
+                if name == "TZ":
+                    return part              # "" when no timezone, per spec
+                if name == "SECONDS":
+                    return part.try_cast("double")
+                return part.try_cast("int")
         raise ValueError(f"unsupported expression {e!r}")
 
     def _bind_if_exists(self, df, bound, expr, var) -> DataFrame:
@@ -1586,6 +1629,11 @@ class SparqlEngine:
             c = self._expr(arg, df, bound)
             return F.count_distinct(c) if distinct else F.count(c)
         c = self._expr(arg, df, bound)
+        if name == "SAMPLE":
+            # spec says "an arbitrary value from the group"; a
+            # distributed engine must still be deterministic across
+            # retries/partitionings, so: the lexical minimum
+            return F.min(c)
         if name == "GROUP_CONCAT":
             base = F.array_sort(F.collect_set(c) if distinct
                                 else F.collect_list(c))

@@ -671,3 +671,54 @@ def test_string_and_numeric_builtins(spark):
         OPTIONAL { ?s <urn:missing> ?m }
         BIND(COALESCE(?m, ?n) AS ?x) } ORDER BY ?x""").collect()
     assert [x["x"] for x in r] == ["goodbye", "hello world"]
+
+
+def test_hash_uri_and_datetime_builtins(spark):
+    """MD5/SHA* (UTF-8 lexical form, lowercase hex), ENCODE_FOR_URI
+    (RFC 3986 unreserved set), YEAR..SECONDS/TZ (lexical component
+    extraction — immune to the session timezone), SAMPLE aggregate."""
+    import hashlib
+    xsd_dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    rows = [("urn:a", "urn:name", "Los Angeles*~x", None, None, None),
+            ("urn:a", "urn:ts", "2024-03-01T12:34:56.5Z", xsd_dt, None,
+             None),
+            ("urn:b", "urn:ts", "2011-01-10T14:45:13.815-05:00", xsd_dt,
+             None, None),
+            ("urn:c", "urn:ts", "2024-03-01T12:34:56", xsd_dt, None,
+             None)]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    r = eng.query("""SELECT ?m ?s1 ?s256 ?enc WHERE {
+        ?s <urn:name> ?n .
+        BIND(MD5(?n) AS ?m)   BIND(SHA1(?n) AS ?s1)
+        BIND(SHA256(?n) AS ?s256)
+        BIND(ENCODE_FOR_URI(?n) AS ?enc) }""").collect()
+    raw = "Los Angeles*~x".encode()
+    assert r[0]["m"] == hashlib.md5(raw).hexdigest()
+    assert r[0]["s1"] == hashlib.sha1(raw).hexdigest()
+    assert r[0]["s256"] == hashlib.sha256(raw).hexdigest()
+    assert r[0]["enc"] == "Los%20Angeles%2A~x"
+    r = eng.query("""SELECT ?y ?mo ?d ?h ?mi ?sec ?tz WHERE {
+        <urn:a> <urn:ts> ?t .
+        BIND(YEAR(?t) AS ?y)    BIND(MONTH(?t) AS ?mo)
+        BIND(DAY(?t) AS ?d)     BIND(HOURS(?t) AS ?h)
+        BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?sec)
+        BIND(TZ(?t) AS ?tz) }""").collect()
+    assert tuple(r[0]) == (2024, 3, 1, 12, 34, 56.5, "Z")
+    r = eng.query("""SELECT ?h ?sec ?tz WHERE { <urn:b> <urn:ts> ?t .
+        BIND(HOURS(?t) AS ?h) BIND(SECONDS(?t) AS ?sec)
+        BIND(TZ(?t) AS ?tz) }""").collect()
+    assert tuple(r[0]) == (14, 13.815, "-05:00")
+    # no timezone → TZ returns "" (simple literal), per spec
+    r = eng.query("""SELECT ?tz WHERE { <urn:c> <urn:ts> ?t .
+        BIND(TZ(?t) AS ?tz) }""").collect()
+    assert r[0]["tz"] == ""
+    # dateTime builtins compose with FILTER (the engine's string model)
+    r = eng.query("""SELECT ?s WHERE { ?s <urn:ts> ?t .
+        FILTER(YEAR(?t) = 2024) } ORDER BY ?s""").collect()
+    assert [x["s"] for x in r] == ["urn:a", "urn:c"]
+    # SAMPLE: deterministic (lexical min), grouped and global
+    r = eng.query("""SELECT ?s (SAMPLE(?t) AS ?one) WHERE {
+        ?s <urn:ts> ?t } GROUP BY ?s ORDER BY ?s""").collect()
+    assert [x["one"] for x in r] == ["2024-03-01T12:34:56.5Z",
+                                     "2011-01-10T14:45:13.815-05:00",
+                                     "2024-03-01T12:34:56"]

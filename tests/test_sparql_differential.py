@@ -22,7 +22,9 @@ two implementations are comparable by construction:
 Failures print the query text + seed, so any divergence is replayable.
 """
 
+import hashlib
 import random
+import urllib.parse
 from collections import Counter
 
 import pytest
@@ -92,6 +94,16 @@ def _eval_bgp(patterns, rows, graphs=None):
     return sols
 
 
+_BIND_IMPL = {
+    "LCASE": lambda v: v.lower(),
+    "UCASE": lambda v: v.upper(),
+    "MD5": lambda v: hashlib.md5(v.encode()).hexdigest(),
+    "SHA1": lambda v: hashlib.sha1(v.encode()).hexdigest(),
+    "SHA256": lambda v: hashlib.sha256(v.encode()).hexdigest(),
+    "ENCODE_FOR_URI": lambda v: urllib.parse.quote(v, safe="-._~"),
+}
+
+
 def _eval_filter(flt, mu):
     """(op, var, rhs, numeric) — SPARQL filter: unbound/error → False."""
     op, var, rhs, numeric = flt
@@ -113,8 +125,9 @@ def _eval_query(q, rows):
     """q dict → list of projected tuples (post-DISTINCT when set)."""
     sols = _eval_bgp(q["base"], rows, q["graphs"])
     if q["bind"]:
-        src, new = q["bind"]
-        sols = [{**mu, new: mu[src].lower()} for mu in sols]
+        src, new, fn = q["bind"]
+        impl = _BIND_IMPL[fn]
+        sols = [{**mu, new: impl(mu[src])} for mu in sols]
     if q["union"]:
         arm_a, arm_b = q["union"]
         usols = _eval_bgp(arm_a, rows) + _eval_bgp(arm_b, rows)
@@ -195,7 +208,8 @@ def _gen_query(rng: random.Random):
     base_vars = sorted(_pat_vars(base))
     bind = None
     if rng.random() < 0.3:
-        bind = (rng.choice(base_vars), "q")
+        bind = (rng.choice(base_vars), "q",
+                rng.choice(sorted(_BIND_IMPL)))
     union = optional = minus = None
     filters = []
     extra = rng.random()
@@ -251,8 +265,8 @@ def _to_text(q):
         else:
             lines.append(_pat_str(pat) + " .")
     if q["bind"]:
-        src, new = q["bind"]
-        lines.append(f"BIND(LCASE(?{src}) AS ?{new})")
+        src, new, fn = q["bind"]
+        lines.append(f"BIND({fn}(?{src}) AS ?{new})")
     if q["union"]:
         a, b = q["union"]
         lines.append("{ " + " . ".join(map(_pat_str, a)) + " } UNION { "
@@ -327,7 +341,7 @@ def _gen_agg_query(rng: random.Random):
     a = rng.choice(avars) if avars else None
     choices = ["count_star"]
     if a:
-        choices += ["count_distinct", "min", "max"]
+        choices += ["count_distinct", "min", "max", "sample"]
         if numeric and a in "vwxy":
             choices.append("sum")
     agg = rng.choice(choices)
@@ -343,6 +357,7 @@ def _agg_text(q):
     expr = {"count_star": "COUNT(*)",
             "count_distinct": f"COUNT(DISTINCT ?{a})",
             "min": f"MIN(?{a})", "max": f"MAX(?{a})",
+            "sample": f"SAMPLE(?{a})",
             "sum": f"SUM(?{a})"}[q["agg"]]
     cols = [f"({expr} AS ?agg)", f"?{g}"]
     if not q["agg_first"]:
@@ -375,6 +390,9 @@ def _agg_eval(q, rows):
             agg = len(set(vals))
         elif q["agg"] == "sum":
             agg = sum(float(v) for v in vals)
+        elif q["agg"] == "sample":
+            # the engine's SAMPLE is deterministic: the lexical minimum
+            agg = sorted(vals)[0]
         else:
             try:                       # all-numeric → numeric ordering
                 keyed = sorted(vals, key=lambda v: (float(v), v))
