@@ -186,3 +186,119 @@ def extract_canonical_pair_counts(docs: DataFrame,
 
     return docs.select("url", "text").mapInPandas(
         gen, schema="url string, subj string, obj string, cnt long")
+
+
+def extract_provenance_docagg(docs: DataFrame,
+                              canonical_map: dict[str, str]) -> DataFrame:
+    """docs_clean → provenance(url, n_mentions, n_entities, n_triples),
+    computed entirely doc-locally — the provenance analog of the
+    relations fast path.
+
+    ``build_provenance`` groups the 10^2×-wider linked-mention and
+    raw-triple streams by url, but every one of a document's mentions,
+    entities and adjacency triples lives in ONE docs_clean row, so all
+    three counts are doc-local: one Arrow pass emits the finished rows
+    with no mention/triple fan-out, no linking-join recompute and no
+    shuffle at all (measured: 57 s → the cost of one docs_clean scan at
+    2M pages / 16 cores).
+
+    Semantics mirrored exactly (tests/test_pipeline_fastpath.py):
+    - n_mentions = unigram tokens + phrase-table bigram hits whose
+      canonical lookup succeeds (the shuffle path's alias-join ∘
+      canonical-join composition; with the pipeline's discovered alias
+      every token resolves, the .get guard is defensive);
+    - n_entities = distinct canonical ids over those mentions;
+    - n_triples = adjacency pairs = max(len(tokens)-1, 0) — NOT
+      canonical-filtered (build_provenance counts raw_triples);
+    - docs with zero surviving mentions emit no row (build_provenance's
+      left join hangs triples off the mention side).
+
+    Only valid under the vocabulary ceiling where ``canonical_map`` is a
+    driver dict (run_pipeline gates on RELATIONS_DOCAGG_MAX_VOCAB).
+    """
+    spark = docs.sparkSession
+    bmap = spark.sparkContext.broadcast(canonical_map)
+    # 4-entry phrase table → candidate pairs are prefiltered to the few
+    # whose first token can open a phrase, so the string lookup below
+    # touches a tiny unique set per batch
+    first_words = {k.split(" ")[0] for k in BIGRAM_ALIASES}
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmap = bmap.value
+        empty = pd.DataFrame({
+            "url": pd.Series([], dtype=str),
+            "n_mentions": pd.Series([], dtype="int64"),
+            "n_entities": pd.Series([], dtype="int64"),
+            "n_triples": pd.Series([], dtype="int64")})
+        for pdf in batches:
+            texts = pdf["text"]
+            mask = texts.str.len() > 0          # mirrors _tokens' filter
+            texts = texts[mask].reset_index(drop=True)
+            urls = pdf["url"][mask].to_numpy()
+            ndocs = len(texts)
+            if ndocs == 0:
+                yield empty
+                continue
+            ex = texts.str.split(" ").explode()
+            flat = ex.to_numpy()
+            di_flat = ex.index.to_numpy()
+            lens = np.bincount(di_flat, minlength=ndocs)
+            tok_codes, uniq = pd.factorize(flat)
+            nu = max(len(uniq), 1)
+            canon_vals = [cmap.get("ent:" + u) for u in uniq]
+            # adjacent pairs, doc-local (same index algebra as the
+            # relations pass)
+            offs = np.cumsum(lens) - lens
+            pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs, lens)
+            a_mask = pos < np.repeat(lens, lens) - 1
+            a_tok, b_tok = tok_codes[a_mask], tok_codes[pos > 0]
+            di_pair = di_flat[a_mask]
+            fw = np.array([u in first_words for u in uniq], dtype=bool)
+            cand = np.nonzero(fw[a_tok])[0] if len(a_tok) else \
+                np.array([], dtype=np.int64)
+            pk = a_tok[cand].astype(np.int64) * nu + b_tok[cand]
+            upk, inv = np.unique(pk, return_inverse=True)
+            big_vals = []
+            for k in upk:
+                e = BIGRAM_ALIASES.get(
+                    uniq[k // nu] + " " + uniq[k % nu])
+                big_vals.append(cmap.get(e) if e is not None else None)
+            # one canonical code space across unigram + bigram entities
+            uniq_canon = sorted(
+                {v for v in canon_vals if v is not None}
+                | {v for v in big_vals if v is not None})
+            nc = max(len(uniq_canon), 1)
+            codes = {v: i for i, v in enumerate(uniq_canon)}
+            tok2c = np.array(
+                [codes[v] if v is not None else -1 for v in canon_vals],
+                dtype=np.int64)
+            big2c = np.array(
+                [codes[v] if v is not None else -1 for v in big_vals],
+                dtype=np.int64)
+            c_uni = tok2c[tok_codes]
+            c_big = big2c[inv] if len(cand) else \
+                np.array([], dtype=np.int64)
+            di_big = di_pair[cand]
+            keep_uni, keep_big = c_uni >= 0, c_big >= 0
+            n_mentions = (
+                np.bincount(di_flat[keep_uni], minlength=ndocs)
+                + np.bincount(di_big[keep_big], minlength=ndocs))
+            ent_keys = np.unique(np.concatenate([
+                di_flat[keep_uni] * nc + c_uni[keep_uni],
+                di_big[keep_big] * nc + c_big[keep_big]]))
+            n_entities = np.bincount(ent_keys // nc, minlength=ndocs)
+            n_triples = np.maximum(lens - 1, 0)
+            keep_doc = n_mentions > 0
+            yield pd.DataFrame({
+                "url": urls[keep_doc],
+                "n_mentions": n_mentions[keep_doc].astype("int64"),
+                "n_entities": n_entities[keep_doc].astype("int64"),
+                "n_triples": n_triples[keep_doc].astype("int64"),
+            })
+
+    return docs.select("url", "text").mapInPandas(
+        gen, schema="url string, n_mentions long, n_entities long, "
+                    "n_triples long")

@@ -27,6 +27,7 @@ from .operators.extraction import (
     extract_canonical_pair_counts,
     extract_docs,
     extract_mentions,
+    extract_provenance_docagg,
     extract_raw_triples,
 )
 from .operators.linking import (
@@ -197,6 +198,12 @@ def run_pipeline(
 
     canonical = stage("canonical_map", _canonical)
 
+    # vocabulary under the dict ceiling → the canonical map lives on the
+    # driver (tens of MB at the 1M-entry ceiling) and unlocks the
+    # doc-aggregated fast paths for relations AND provenance below
+    cmap = ({r["entity_id"]: r["canonical_id"] for r in canonical.collect()}
+            if n_alias <= RELATIONS_DOCAGG_MAX_VOCAB else None)
+
     def _linked_canonical() -> DataFrame:
         canon = F.broadcast(canonical) if broadcast_vocab else canonical
         return linked.join(canon, "entity_id").select(
@@ -223,9 +230,7 @@ def run_pipeline(
         # shuffled / ~1200 CPU-s at 2M pages; this path shuffles KBs.
         # Open vocabulary past the dict ceiling → the original
         # pre-aggregated shuffle path.
-        if n_alias <= RELATIONS_DOCAGG_MAX_VOCAB:
-            cmap = {r["entity_id"]: r["canonical_id"]
-                    for r in canonical.collect()}
+        if cmap is not None:
             return build_relations_docagg(
                 extract_canonical_pair_counts(docs_clean, cmap))
         return build_relations(raw_triples, canonical,
@@ -247,9 +252,16 @@ def run_pipeline(
             slots = cat.commit("slots", slots)
 
     triples = stage("triples", lambda: build_triples(entities, frames, graph))
-    provenance = stage(
-        "provenance", lambda: build_provenance(linked_canonical, raw_triples)
-    )
+
+    def _provenance() -> DataFrame:
+        # doc-local fast path under the vocab ceiling (all three counts
+        # of a url live in one docs_clean row — extraction.py docstring);
+        # open vocabulary → the keyed-aggregate shuffle path
+        if cmap is not None:
+            return extract_provenance_docagg(docs_clean, cmap)
+        return build_provenance(linked_canonical, raw_triples)
+
+    provenance = stage("provenance", _provenance)
 
     return KGTables(
         docs_clean=docs_clean, mentions=mentions, raw_triples=raw_triples,

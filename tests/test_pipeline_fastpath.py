@@ -93,3 +93,92 @@ def test_pipeline_uses_fastpath_and_matches_oracle(spark):
     want = {(r["subj"], r["pred"], r["obj"], r["weight"], r["ndocs"])
             for r in oracle.relations}
     assert got == want
+
+
+def test_provenance_fastpath_equals_shuffle_path(docs, canonical, spark):
+    """extract_provenance_docagg must be row-identical to
+    build_provenance over the real linking machinery — including the
+    bigram-dropped-by-canonical case (the fixture's canonical map lacks
+    ent:group_by, so the 'group by' bigram mention must vanish from
+    n_mentions on BOTH paths) and the single-token doc (n_triples=0)."""
+    from kgraphmemory_spark.operators.extraction import (
+        extract_mentions,
+        extract_provenance_docagg,
+    )
+    from kgraphmemory_spark.operators.linking import (
+        discovered_alias_from_docs,
+        link_mentions,
+    )
+    from kgraphmemory_spark.operators.materialize import build_provenance
+
+    alias = discovered_alias_from_docs(docs)
+    linked = link_mentions(extract_mentions(docs), alias)
+    lc = linked.join(canonical, "entity_id")
+    slow = build_provenance(lc, extract_raw_triples(docs))
+    cmap = {r.entity_id: r.canonical_id for r in canonical.collect()}
+    fast = extract_provenance_docagg(docs, cmap)
+    want = sorted(tuple(r) for r in slow.collect())
+    got = sorted(tuple(r) for r in fast.collect())
+    assert got == want
+    # spot-check the fixture edges: doc a loses its bigram mention
+    # (4 unigrams, 2 canonical entities after group→agg, 3 adjacency
+    # triples); doc d has one token and zero triples
+    rows = {r.url: (r.n_mentions, r.n_entities, r.n_triples)
+            for r in fast.collect()}
+    assert rows["a"] == (4, 2, 3)
+    assert rows["d"] == (1, 1, 0)
+    assert "c" not in rows            # empty text → no provenance row
+
+
+def test_provenance_fastpath_counts_bigrams(spark):
+    """With the full pipeline canonical map (which always contains the
+    bigram entities), the bigram mention and its entity are counted."""
+    from kgraphmemory_spark import datagen, semantics
+    from kgraphmemory_spark.operators.extraction import (
+        extract_mentions,
+        extract_provenance_docagg,
+    )
+    from kgraphmemory_spark.operators.linking import (
+        discovered_alias_from_docs,
+        link_mentions,
+        rank_candidates,
+    )
+    from kgraphmemory_spark.operators.materialize import build_provenance
+
+    pages = spark.createDataFrame(
+        [("u1", None, None, "the hash join beats the sort merge", "en"),
+         ("u2", None, None, "hash hash join", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    docs = extract_docs(pages)
+    alias = discovered_alias_from_docs(docs)
+    ids = [r.entity_id for r in
+           rank_candidates(alias).select("entity_id").collect()]
+    cmap = dict(semantics.canonical_map(set(ids)).items())
+    canonical = spark.createDataFrame(
+        sorted(cmap.items()), "entity_id string, canonical_id string")
+    linked = link_mentions(extract_mentions(docs), alias)
+    lc = linked.join(canonical, "entity_id")
+    slow = build_provenance(lc, extract_raw_triples(docs))
+    fast = extract_provenance_docagg(docs, cmap)
+    assert sorted(tuple(r) for r in fast.collect()) == \
+        sorted(tuple(r) for r in slow.collect())
+    rows = {r.url: (r.n_mentions, r.n_entities, r.n_triples)
+            for r in fast.collect()}
+    # u1: 7 unigrams + 2 bigrams; u2: 3 unigrams + 1 bigram ("hash join"
+    # at pos 1), entities {hash, join, hash_join}
+    assert rows["u1"][0] == 9 and rows["u1"][2] == 6
+    assert rows["u2"] == (4, 3, 2)
+
+
+def test_pipeline_provenance_matches_slow_path(spark):
+    """run_pipeline (fast path engaged) vs build_provenance over the
+    pipeline's own linked/raw tables on the synthetic corpus."""
+    from kgraphmemory_spark import datagen
+    from kgraphmemory_spark.operators.materialize import build_provenance
+    from kgraphmemory_spark.pipeline import run_pipeline
+    pages = datagen.generate_pages(spark, 80, seed=23)
+    kg = run_pipeline(spark, pages, cache_intermediates=False)
+    slow = build_provenance(kg.linked, kg.raw_triples)
+    assert sorted(tuple(r) for r in kg.provenance.collect()) == \
+        sorted(tuple(r) for r in slow.collect())
