@@ -188,6 +188,115 @@ def extract_canonical_pair_counts(docs: DataFrame,
         gen, schema="url string, subj string, obj string, cnt long")
 
 
+def extract_entity_counts_docagg(docs: DataFrame,
+                                 canonical_map: dict[str, str]) -> DataFrame:
+    """docs_clean → per-batch partial entity aggregates
+    (canonical_id, name, big, cnt) — the entities analog of the
+    relations/provenance fast paths.
+
+    ``build_entities_preagg`` aggregates the per-occurrence mention
+    stream by (surface, kind) and then joins the vocabulary tables; all
+    of its aggregate functions (count, min-surface, has-bigram) are
+    decomposable, and under the discovered-alias pipeline entity_id is a
+    pure function of (surface, kind) — ``ent:<surface>`` /
+    ``BIGRAM_ALIASES[surface]`` — so the whole per-surface level can be
+    folded into the extraction pass: each Arrow batch emits one partial
+    row per canonical id seen in the batch (counts summed, names
+    min-ed, bigram flag or-ed by the final vocab-sized groupBy in
+    ``build_entities_docagg``).  The mention explode (10^2× docs rows)
+    never materializes; the shuffle carries batches × batch-vocab rows.
+
+    Tokens/bigrams whose canonical lookup fails are dropped — the
+    shuffle path's alias-join ∘ canonical-join composition (defensive:
+    the pipeline's discovered alias always resolves).  Gated like the
+    other doc-agg paths on the vocabulary ceiling.
+    """
+    spark = docs.sparkSession
+    bmap = spark.sparkContext.broadcast(canonical_map)
+    first_words = {k.split(" ")[0] for k in BIGRAM_ALIASES}
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmap = bmap.value
+        empty = pd.DataFrame({
+            "canonical_id": pd.Series([], dtype=str),
+            "name": pd.Series([], dtype=str),
+            "big": pd.Series([], dtype="int32"),
+            "cnt": pd.Series([], dtype="int64")})
+        for pdf in batches:
+            texts = pdf["text"]
+            texts = texts[texts.str.len() > 0].reset_index(drop=True)
+            if len(texts) == 0:
+                yield empty
+                continue
+            ex = texts.str.split(" ").explode()
+            flat = ex.to_numpy()
+            di_flat = ex.index.to_numpy()
+            lens = np.bincount(di_flat, minlength=len(texts))
+            tok_codes, uniq = pd.factorize(flat)
+            nu = max(len(uniq), 1)
+            canon_vals = [cmap.get("ent:" + u) for u in uniq]
+            # bigram hits (same index algebra as the sibling passes)
+            offs = np.cumsum(lens) - lens
+            pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs, lens)
+            a_mask = pos < np.repeat(lens, lens) - 1
+            a_tok, b_tok = tok_codes[a_mask], tok_codes[pos > 0]
+            fw = np.array([u in first_words for u in uniq], dtype=bool)
+            cand = np.nonzero(fw[a_tok])[0] if len(a_tok) else \
+                np.array([], dtype=np.int64)
+            pk = a_tok[cand].astype(np.int64) * nu + b_tok[cand]
+            upk, inv = np.unique(pk, return_inverse=True)
+            big_surfs = [uniq[k // nu] + " " + uniq[k % nu] for k in upk]
+            big_vals = []
+            for s in big_surfs:
+                e = BIGRAM_ALIASES.get(s)
+                big_vals.append(cmap.get(e) if e is not None else None)
+            parts: dict = {}   # canonical_id -> [min_name, big, cnt]
+            uni_counts = np.bincount(tok_codes, minlength=len(uniq))
+            for i, v in enumerate(canon_vals):
+                if v is None:
+                    continue
+                s, n = uniq[i], int(uni_counts[i])
+                p = parts.get(v)
+                if p is None:
+                    parts[v] = [s, 0, n]
+                else:
+                    if s < p[0]:
+                        p[0] = s
+                    p[2] += n
+            big_counts = np.bincount(inv, minlength=len(upk)) \
+                if len(cand) else np.array([], dtype=np.int64)
+            for i, v in enumerate(big_vals):
+                if v is None:
+                    continue
+                s, n = big_surfs[i], int(big_counts[i])
+                p = parts.get(v)
+                if p is None:
+                    parts[v] = [s, 1, n]
+                else:
+                    if s < p[0]:
+                        p[0] = s
+                    p[1] = 1
+                    p[2] += n
+            if not parts:
+                yield empty
+                continue
+            keys = sorted(parts)
+            yield pd.DataFrame({
+                "canonical_id": keys,
+                "name": [parts[k][0] for k in keys],
+                "big": pd.Series([parts[k][1] for k in keys],
+                                 dtype="int32"),
+                "cnt": pd.Series([parts[k][2] for k in keys],
+                                 dtype="int64"),
+            })
+
+    return docs.select("text").mapInPandas(
+        gen, schema="canonical_id string, name string, big int, cnt long")
+
+
 def extract_provenance_docagg(docs: DataFrame,
                               canonical_map: dict[str, str]) -> DataFrame:
     """docs_clean → provenance(url, n_mentions, n_entities, n_triples),

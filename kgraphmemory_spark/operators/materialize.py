@@ -105,6 +105,29 @@ def build_entities_preagg(mentions: DataFrame, ranked_alias: DataFrame,
     )
 
 
+def build_entities_docagg(parts: DataFrame) -> DataFrame:
+    """Finish the entity build from the per-batch partial aggregates of
+    ``extraction.extract_entity_counts_docagg``: one vocabulary-sized
+    hash agg (decomposable min/max/sum), identical rows to
+    ``build_entities_preagg`` — asserted in tests/test_pipeline_fastpath.py."""
+    return (
+        parts.groupBy("canonical_id")
+        .agg(
+            F.min("name").alias("name"),
+            F.max("big").alias("_big"),
+            F.sum("cnt").alias("mention_count"),
+        )
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            "name",
+            F.when(F.col("_big") == 1, F.lit(TYPE_PHRASE))
+            .otherwise(F.lit(TYPE_TOKEN))
+            .alias("entity_type"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
 def build_relations(raw_triples: DataFrame, canonical: DataFrame,
                     broadcast_canonical: bool = True) -> DataFrame:
     """raw_triples(url,pos,subj_surface,pred,obj_surface) ⋈ canonical map

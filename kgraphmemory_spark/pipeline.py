@@ -26,6 +26,7 @@ from .operators.cc import canonical_mapping, canonical_mapping_local
 from .operators.extraction import (
     extract_canonical_pair_counts,
     extract_docs,
+    extract_entity_counts_docagg,
     extract_mentions,
     extract_provenance_docagg,
     extract_raw_triples,
@@ -39,6 +40,7 @@ from .operators.linking import (
 )
 from .operators.materialize import (
     DEFAULT_GRAPH,
+    build_entities_docagg,
     build_entities_preagg,
     build_frames_slots,
     build_provenance,
@@ -213,12 +215,21 @@ def run_pipeline(
 
     linked_canonical = _linked_canonical()
 
-    # entities aggregate the mention stream by (surface, kind) before any
-    # join (decomposable aggs — see build_entities_preagg docstring);
+    # entities: under the vocab ceiling the whole per-surface level folds
+    # into one Arrow pass over docs_clean (per-batch partial aggregates in
+    # canonical space — extract_entity_counts_docagg docstring); open
+    # vocabulary → aggregate the mention stream by (surface, kind) before
+    # any join (decomposable aggs — build_entities_preagg docstring).
     # build_entities(linked_canonical) is the reference shape and remains
     # the oracle in tests
-    entities = stage("entities", lambda: build_entities_preagg(
-        mentions, ranked, canonical, broadcast_alias=broadcast_vocab))
+    def _entities() -> DataFrame:
+        if cmap is not None:
+            return build_entities_docagg(
+                extract_entity_counts_docagg(docs_clean, cmap))
+        return build_entities_preagg(
+            mentions, ranked, canonical, broadcast_alias=broadcast_vocab)
+
+    entities = stage("entities", _entities)
 
     def _relations() -> DataFrame:
         # Scale path: when the canonical vocabulary fits a driver dict,

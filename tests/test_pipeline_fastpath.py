@@ -182,3 +182,62 @@ def test_pipeline_provenance_matches_slow_path(spark):
     slow = build_provenance(kg.linked, kg.raw_triples)
     assert sorted(tuple(r) for r in kg.provenance.collect()) == \
         sorted(tuple(r) for r in slow.collect())
+
+
+def test_entities_fastpath_equals_preagg_path(spark):
+    """extract_entity_counts_docagg + build_entities_docagg must be
+    row-identical to build_entities_preagg over the real linking
+    machinery — bigram flag, min-name across batches, counts summed."""
+    from kgraphmemory_spark import datagen, semantics
+    from kgraphmemory_spark.operators.extraction import (
+        extract_entity_counts_docagg,
+        extract_mentions,
+    )
+    from kgraphmemory_spark.operators.linking import (
+        discovered_alias_from_docs,
+        rank_candidates,
+    )
+    from kgraphmemory_spark.operators.materialize import (
+        build_entities_docagg,
+        build_entities_preagg,
+    )
+
+    pages = datagen.generate_pages(spark, 80, seed=31)
+    docs = extract_docs(pages)
+    alias = discovered_alias_from_docs(docs)
+    ranked = rank_candidates(alias)
+    ids = [r.entity_id for r in ranked.select("entity_id").collect()]
+    cmap = dict(semantics.canonical_map(set(ids)).items())
+    canonical = spark.createDataFrame(
+        sorted(cmap.items()), "entity_id string, canonical_id string")
+    slow = build_entities_preagg(extract_mentions(docs), ranked, canonical)
+    fast = build_entities_docagg(extract_entity_counts_docagg(docs, cmap))
+    assert sorted(tuple(r) for r in fast.collect()) == \
+        sorted(tuple(r) for r in slow.collect())
+
+
+def test_entities_fastpath_bigram_and_unmapped(spark):
+    """A canonical id fed by both a unigram and a bigram keeps the
+    phrase type and the min name; unmapped tokens are dropped."""
+    from kgraphmemory_spark.operators.extraction import (
+        extract_entity_counts_docagg,
+    )
+    from kgraphmemory_spark.operators.materialize import (
+        build_entities_docagg,
+    )
+    pages = spark.createDataFrame(
+        [("u1", None, None, "hash join hash ghost", "en"),
+         ("u2", None, None, "join hash join", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    docs = extract_docs(pages)
+    # hash_join canonicalizes with hash; ghost has no canonical entry
+    cmap = {"ent:hash": "ent:hash", "ent:join": "ent:join",
+            "ent:hash_join": "ent:hash"}
+    got = {r.entity_id: (r.name, r.entity_type, r.mention_count)
+           for r in build_entities_docagg(
+               extract_entity_counts_docagg(docs, cmap)).collect()}
+    # ent:hash ← unigram "hash" ×3 + bigram "hash join" ×2 → phrase type,
+    # min name "hash"; ent:join ← unigram "join" ×3
+    assert got == {"ent:hash": ("hash", "urn:kg:Phrase", 5),
+                   "ent:join": ("join", "urn:kg:Token", 3)}
