@@ -42,7 +42,8 @@ tests) uses the fragment implemented here:
   ``EXISTS { }`` / ``NOT EXISTS { }``;
 - solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
   hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
-  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``,
+  ``OFFSET``; query forms ``SELECT``, ``ASK``, ``CONSTRUCT``
+  (incl. the ``CONSTRUCT WHERE { BGP }`` shorthand, §10.2.3),
   ``DESCRIBE`` (subject-scoped description; IRIs, variables or ``*``,
   WHERE optional for ground IRIs);
 - subqueries ``{ SELECT ... }`` (SPARQL 1.1 §12): evaluated as an
@@ -621,6 +622,29 @@ class _Parser:
         if self._kw("ASK"):
             return {"form": "ask", "where": self._where_group()}
         if self._kw("CONSTRUCT"):
+            if self._peek()[0] == "word" and \
+                    self._peek()[1].upper() == "WHERE":
+                # SPARQL 1.1 §10.2.3 shorthand: CONSTRUCT WHERE { BGP } —
+                # the pattern doubles as the template; the spec restricts
+                # the body to a basic graph pattern (no FILTER/OPTIONAL/
+                # paths), which _triples_block enforces by construction
+                # and the path check below completes
+                self.i += 1
+                g = Group()
+                self._expect("op", "{")
+                while not self._at("op", "}"):
+                    self._triples_block(g, None)
+                    self._kw_dot_opt()
+                self._expect("op", "}")
+                for _s, _p, _o, _g in g.patterns:
+                    if _p[0] not in ("iri", "var"):
+                        raise ValueError(
+                            "property paths are not allowed in "
+                            "CONSTRUCT WHERE")
+                q = {"form": "construct", "template": g.patterns,
+                     "where": g}
+                q.update(self._modifiers())
+                return q
             tmpl = Group()
             self._expect("op", "{")
             while not self._at("op", "}"):

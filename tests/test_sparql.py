@@ -722,3 +722,20 @@ def test_hash_uri_and_datetime_builtins(spark):
     assert [x["one"] for x in r] == ["2024-03-01T12:34:56.5Z",
                                      "2011-01-10T14:45:13.815-05:00",
                                      "2024-03-01T12:34:56"]
+
+
+def test_construct_where_shorthand(eng):
+    """CONSTRUCT WHERE { BGP } (SPARQL 1.1 §10.2.3) equals the longhand
+    with the pattern repeated as template; non-BGP bodies raise."""
+    short = eng.construct("""CONSTRUCT WHERE {
+        ?m <http://vital.ai/ontology/haley-ai-kg#hasKGChatMessageContent>
+           ?c . }""").collect()
+    long_ = eng.construct("""CONSTRUCT {
+        ?m <http://vital.ai/ontology/haley-ai-kg#hasKGChatMessageContent>
+           ?c . } WHERE {
+        ?m <http://vital.ai/ontology/haley-ai-kg#hasKGChatMessageContent>
+           ?c . }""").collect()
+    assert sorted(map(tuple, short)) == sorted(map(tuple, long_))
+    assert len(short) == 3
+    with pytest.raises(ValueError):
+        eng.construct("CONSTRUCT WHERE { ?s <urn:p>+ ?o . }")
