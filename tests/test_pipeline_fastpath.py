@@ -241,3 +241,65 @@ def test_entities_fastpath_bigram_and_unmapped(spark):
     # min name "hash"; ent:join ← unigram "join" ×3
     assert got == {"ent:hash": ("hash", "urn:kg:Phrase", 5),
                    "ent:join": ("join", "urn:kg:Token", 3)}
+
+
+@pytest.mark.parametrize("seed", [3, 9])
+def test_fastpaths_random_corpus_differential(spark, seed):
+    """Randomized differential: all three doc-agg fast paths vs their
+    shuffle-path twins over a corpus that mixes empty docs, single
+    tokens, heavy repetition, unicode, synonym-merge tokens and every
+    phrase-table bigram."""
+    import random
+
+    from kgraphmemory_spark import semantics
+    from kgraphmemory_spark.operators.extraction import (
+        extract_entity_counts_docagg,
+        extract_mentions,
+        extract_provenance_docagg,
+    )
+    from kgraphmemory_spark.operators.linking import (
+        discovered_alias_from_docs,
+        link_mentions,
+        rank_candidates,
+    )
+    from kgraphmemory_spark.operators.materialize import (
+        build_entities_docagg,
+        build_entities_preagg,
+        build_provenance,
+        build_relations,
+        build_relations_docagg,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["hash", "join", "table", "scan", "sort", "merge", "group",
+             "by", "order", "quick", "fast", "the", "données", "αβγ"]
+    rows = []
+    for i in range(150):
+        n = rng.choice([0, 1, 2, rng.randint(3, 40)])
+        toks = [rng.choice(vocab) for _ in range(n)]
+        rows.append((f"u{i}", None, None, " ".join(toks), "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    docs = extract_docs(pages)
+    alias = discovered_alias_from_docs(docs)
+    ranked = rank_candidates(alias)
+    ids = [r.entity_id for r in ranked.select("entity_id").collect()]
+    cmap = dict(semantics.canonical_map(set(ids)).items())
+    canonical = spark.createDataFrame(
+        sorted(cmap.items()), "entity_id string, canonical_id string")
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(build_relations_docagg(
+        extract_canonical_pair_counts(docs, cmap))) == \
+        rows_of(build_relations(extract_raw_triples(docs), canonical))
+    assert rows_of(build_entities_docagg(
+        extract_entity_counts_docagg(docs, cmap))) == \
+        rows_of(build_entities_preagg(
+            extract_mentions(docs), ranked, canonical))
+    lc = link_mentions(extract_mentions(docs), alias).join(
+        canonical, "entity_id")
+    assert rows_of(extract_provenance_docagg(docs, cmap)) == \
+        rows_of(build_provenance(lc, extract_raw_triples(docs)))
