@@ -49,10 +49,18 @@ from .operators.materialize import (
     build_triples,
 )
 
-# canonical-dict ceiling for the doc-aggregated relations path: above this
-# the map no longer belongs on the driver and relations fall back to the
-# pre-aggregated shuffle path (vocabulary-sized, so 1M entries ≈ tens of MB)
+# canonical-dict ceiling for the doc-aggregated fast paths (relations /
+# entities / provenance): above this the map no longer belongs on the
+# driver and each falls back to its pre-aggregated shuffle path.  The
+# cutover is row- AND bytes-aware (same discipline as the CC driver
+# cutover, operators/cc.py): entity ids are arbitrary URI strings, so a
+# row cap alone could collect a multi-GB dict when ids are long — the
+# ranked-count job also sums id bytes and the fast paths additionally
+# require ≤ RELATIONS_DOCAGG_MAX_BYTES of raw id text (×2 for the
+# canonical values; Python-object overhead on top is bounded by the
+# same constant factor the CC cutover budgets for).
 RELATIONS_DOCAGG_MAX_VOCAB = 1_000_000
+RELATIONS_DOCAGG_MAX_BYTES = 256 << 20
 from .semantics import SYNONYMS
 
 
@@ -163,8 +171,14 @@ def run_pipeline(
         ranked = ranked.cache()
     else:
         ranked = ranked.localCheckpoint(eager=True)
-    n_alias = ranked.count()
+    size_row = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("entity_id")), F.lit(0)).alias("b"),
+    ).collect()[0]
+    n_alias, alias_id_bytes = int(size_row["n"]), int(size_row["b"])
     broadcast_vocab = n_alias <= BROADCAST_MAX_ALIAS_ROWS
+    use_docagg = (n_alias <= RELATIONS_DOCAGG_MAX_VOCAB
+                  and 2 * alias_id_bytes <= RELATIONS_DOCAGG_MAX_BYTES)
     strategy = link_strategy
     if strategy == "auto":
         strategy = resolve_strategy(n_alias)
@@ -192,7 +206,7 @@ def run_pipeline(
         # the DataFrame CC path's ~6 fixed-latency mini-jobs, which
         # otherwise sit in the scaling run's serial floor.
         ents = ranked.select("entity_id").distinct()
-        if n_alias <= RELATIONS_DOCAGG_MAX_VOCAB:
+        if use_docagg:
             ids = [r["entity_id"] for r in ents.collect()]
             pairs = [("ent:" + a, "ent:" + b) for a, b in SYNONYMS]
             return canonical_mapping_local(spark, ids, pairs)
@@ -200,11 +214,11 @@ def run_pipeline(
 
     canonical = stage("canonical_map", _canonical)
 
-    # vocabulary under the dict ceiling → the canonical map lives on the
-    # driver (tens of MB at the 1M-entry ceiling) and unlocks the
-    # doc-aggregated fast paths for relations AND provenance below
+    # vocabulary under the dict ceiling (rows AND bytes) → the canonical
+    # map lives on the driver and unlocks the doc-aggregated fast paths
+    # for relations, entities and provenance below
     cmap = ({r["entity_id"]: r["canonical_id"] for r in canonical.collect()}
-            if n_alias <= RELATIONS_DOCAGG_MAX_VOCAB else None)
+            if use_docagg else None)
 
     def _linked_canonical() -> DataFrame:
         canon = F.broadcast(canonical) if broadcast_vocab else canonical

@@ -303,3 +303,18 @@ def test_fastpaths_random_corpus_differential(spark, seed):
         canonical, "entity_id")
     assert rows_of(extract_provenance_docagg(docs, cmap)) == \
         rows_of(build_provenance(lc, extract_raw_triples(docs)))
+
+
+def test_docagg_bytes_cutover_falls_back(spark, monkeypatch):
+    """The doc-agg cutover is bytes-aware: forcing the byte ceiling to 1
+    routes relations/entities/provenance (and the canonical map) through
+    the open-vocabulary shuffle paths — identical rows."""
+    from kgraphmemory_spark import datagen, pipeline
+    pages = datagen.generate_pages(spark, 50, seed=7)
+    fast = pipeline.run_pipeline(spark, pages, cache_intermediates=False)
+    monkeypatch.setattr(pipeline, "RELATIONS_DOCAGG_MAX_BYTES", 1)
+    slow = pipeline.run_pipeline(spark, pages, cache_intermediates=False)
+    for name in ("relations", "entities", "provenance", "canonical",
+                 "triples"):
+        assert sorted(tuple(r) for r in getattr(fast, name).collect()) == \
+            sorted(tuple(r) for r in getattr(slow, name).collect()), name
