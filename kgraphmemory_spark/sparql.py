@@ -38,7 +38,11 @@ tests) uses the fragment implemented here:
   form, lowercase hex), ``ENCODE_FOR_URI``, dateTime components
   ``YEAR``/``MONTH``/``DAY``/``HOURS``/``MINUTES``/``SECONDS``/``TZ``
   (lexical extraction from the canonical ISO form — never routed
-  through the session timezone),
+  through the session timezone), term introspection ``LANG``,
+  ``DATATYPE``, ``isIRI``/``isURI``, ``isLITERAL``, ``isBLANK``,
+  ``LANGMATCHES`` (RFC 4647 basic filtering) — compiled against hidden
+  metadata sidecar columns projected ONLY for the variables a query
+  introspects, so other plans are untouched,
   ``EXISTS { }`` / ``NOT EXISTS { }``;
 - solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
   hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
@@ -77,6 +81,13 @@ Documented deviations (all on the engine's string data model):
   hash-joinable;
 - a typed object literal matches on lexical form, plus datatype when
   the table carries ``obj_datatype``;
+- term introspection reads the store's metadata columns
+  (``obj_datatype`` / ``obj_lang`` / ``obj_is_uri``; the last falls
+  back to the engine-wide IRI shape heuristic): a variable bound only
+  where no metadata exists (property-path objects, VALUES rows,
+  BIND/subquery results) is treated as a simple literal, and when a
+  variable is bound in several positions the first binding's metadata
+  wins (joins coalesce left-first);
 - ``CONSTRUCT`` returns the deduplicated triple set (a graph is a set);
 - ``SPARQL UPDATE`` (``INSERT DATA`` / ``DELETE DATA`` /
   ``DELETE WHERE`` / ``DELETE {} INSERT {} WHERE {}``) is a pure
@@ -152,6 +163,55 @@ def _tokens(text: str) -> list[tuple[str, str]]:
 
 
 # ------------------------------------------------------------------- AST
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+# same shape heuristic operators/store.py uses for its obj_is_uri
+# fallback — one engine-wide definition of "looks like an IRI"
+_URI_SHAPE = r'^[A-Za-z][A-Za-z0-9+.\-]*:[^\s"<>]*$'
+
+# term-introspection builtins: compiled against hidden metadata sidecar
+# columns that _scan projects ONLY for the variables a query actually
+# introspects (collected by _introspected_vars below), so every other
+# query's plan is untouched
+_INTROSPECT = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
+               "ISBLANK"}
+
+
+def _meta_col(var: str, kind: str) -> str:
+    return f"__m_{var}__{kind}"
+
+
+def _introspected_vars(parsed) -> set:
+    """Walk a parsed query/update structure for introspection builtins
+    applied to plain variables (computed arguments raise — metadata of a
+    derived value is not defined in this engine)."""
+    out: set = set()
+
+    def walk(x):
+        if isinstance(x, tuple):
+            if x and x[0] == "func" and x[1] in _INTROSPECT:
+                arg = x[2][0]
+                if arg[0] == "var":
+                    out.add(arg[1])
+                elif arg[0] not in ("lit", "iri"):
+                    raise ValueError(
+                        f"{x[1]} argument must be a variable or constant")
+            for y in x:
+                walk(y)
+        elif isinstance(x, list):
+            for y in x:
+                walk(y)
+        elif isinstance(x, Group):
+            walk(x.elements)
+            walk(x.filters)
+        elif isinstance(x, dict):
+            for y in x.values():
+                walk(y)
+
+    walk(parsed)
+    return out
+
 
 def _expr_vars(e) -> set:
     """Variable names referenced anywhere in an expression tree."""
@@ -571,7 +631,9 @@ class _Parser:
               "STRAFTER": 2, "ABS": 1, "ROUND": 1, "CEIL": 1, "FLOOR": 1,
               "MD5": 1, "SHA1": 1, "SHA256": 1, "SHA384": 1, "SHA512": 1,
               "ENCODE_FOR_URI": 1, "YEAR": 1, "MONTH": 1, "DAY": 1,
-              "HOURS": 1, "MINUTES": 1, "SECONDS": 1, "TZ": 1}
+              "HOURS": 1, "MINUTES": 1, "SECONDS": 1, "TZ": 1,
+              "LANG": 1, "DATATYPE": 1, "ISIRI": 1, "ISURI": 1,
+              "ISLITERAL": 1, "ISBLANK": 1, "LANGMATCHES": 2}
 
     def _unary(self):
         kind, val = self._peek()
@@ -866,6 +928,7 @@ class SparqlEngine:
     def __init__(self, triples: DataFrame):
         self.triples = triples
         self.cols = set(triples.columns)
+        self._meta: set = frozenset()
 
     # -- public forms ---------------------------------------------------
     def query(self, text: str) -> DataFrame:
@@ -874,6 +937,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "select":
             raise ValueError(f"query() got a {q['form']} query")
+        self._meta = _introspected_vars(q)
         return self._select(q)
 
     def ask(self, text: str) -> bool:
@@ -881,6 +945,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "ask":
             raise ValueError(f"ask() got a {q['form']} query")
+        self._meta = _introspected_vars(q)
         df, _ = self._group(q["where"])
         return df.limit(1).count() > 0
 
@@ -890,6 +955,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "construct":
             raise ValueError(f"construct() got a {q['form']} query")
+        self._meta = _introspected_vars(q)
         df, bound = self._group(q["where"])
         df = self._modifiers(df, q, bound)
         parts = []
@@ -926,6 +992,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "describe":
             raise ValueError(f"describe() got a {q['form']} query")
+        self._meta = _introspected_vars(q)
         parts = []
         if q["where"] is not None:
             df, bound = self._group(q["where"])
@@ -958,6 +1025,7 @@ class SparqlEngine:
         GRAPH term matches/inserts with a NULL graph wildcard — the same
         convention as operators.store.remove_triples."""
         ops = _Parser(text).parse_update()
+        self._meta = _introspected_vars(ops)
         df = self.triples
         for op in ops:
             if op[0] == "insert_data":
@@ -1217,6 +1285,7 @@ class SparqlEngine:
         df = self.triples
         conds: list[Column] = []
         proj: dict[str, Column] = {}
+        meta_proj: dict[str, Column] = {}
 
         def bind(term, colname, literal_pos=False):
             kind = term[0]
@@ -1224,8 +1293,35 @@ class SparqlEngine:
                 name = term[1]
                 if name in proj:
                     conds.append(proj[name] == F.col(colname))
+                elif name.startswith("__"):
+                    raise ValueError(f"reserved variable name ?{name}")
                 else:
                     proj[name] = F.col(colname)
+                    if name in self._meta:
+                        # metadata sidecars for introspected variables;
+                        # first-binding position wins (joins coalesce)
+                        null_s = F.lit(None).cast("string")
+                        if literal_pos:
+                            meta_proj[_meta_col(name, "dt")] = (
+                                F.col("obj_datatype").cast("string")
+                                if "obj_datatype" in self.cols else null_s)
+                            meta_proj[_meta_col(name, "lang")] = (
+                                F.col("obj_lang").cast("string")
+                                if "obj_lang" in self.cols else null_s)
+                            # "uri" sidecar = is-a-reference (IRI or
+                            # blank node), not a literal
+                            meta_proj[_meta_col(name, "uri")] = (
+                                F.col("obj_is_uri").cast("boolean")
+                                if "obj_is_uri" in self.cols
+                                else F.col(colname).rlike(_URI_SHAPE)
+                                | F.col(colname).startswith("_:"))
+                        else:
+                            # subject/predicate/graph positions hold IRIs
+                            # or blank nodes, never literals
+                            meta_proj[_meta_col(name, "dt")] = null_s
+                            meta_proj[_meta_col(name, "lang")] = null_s
+                            meta_proj[_meta_col(name, "uri")] = \
+                                ~F.col(colname).startswith("_:")
             elif kind == "iri":
                 conds.append(F.col(colname) == term[1])
             else:                                # typed/plain literal
@@ -1247,8 +1343,9 @@ class SparqlEngine:
         for c in conds:
             df = df.where(c)
         if proj:
-            return df.select(*[c.alias(n) for n, c in proj.items()]), \
-                set(proj)
+            return df.select(
+                *[c.alias(n) for n, c in proj.items()],
+                *[c.alias(n) for n, c in meta_proj.items()]), set(proj)
         # all-constant pattern: a 0/1-row existence relation
         return df.select(F.lit(1).alias("__const")).limit(1), set()
 
@@ -1256,13 +1353,27 @@ class SparqlEngine:
         keys = sorted(lvars & rvars)
         if left is None:
             return right, set(rvars)
+        # a variable introspected AND bound on both sides carries the
+        # same-named metadata sidecars on both: rename the right copy,
+        # coalesce after the join (left-wins — both describe terms with
+        # equal lexical form, the engine's join equality)
+        dup = [c for c in right.columns
+               if c.startswith("__m_") and c in left.columns]
+        for c in dup:
+            right = right.withColumnRenamed(c, "__r" + c)
         if not keys:
             if how == "left":
                 # disjoint OPTIONAL: keep left rows even when the right
                 # side is empty (a crossJoin would drop them)
-                return left.join(right, F.lit(True), "left"), lvars | rvars
-            return left.crossJoin(right), lvars | rvars
-        return left.join(right, keys, how), lvars | rvars
+                out = left.join(right, F.lit(True), "left")
+            else:
+                out = left.crossJoin(right)
+        else:
+            out = left.join(right, keys, how)
+        for c in dup:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.col("__r" + c))).drop("__r" + c)
+        return out, lvars | rvars
 
     def _group(self, g: Group) -> tuple[DataFrame, set[str]]:
         """Build the group left-to-right, SPARQL algebra order
@@ -1291,7 +1402,9 @@ class SparqlEngine:
                                for m in missing]))
                 udf = parts[0]
                 for p_ in parts[1:]:
-                    udf = udf.unionByName(p_)
+                    # allowMissingColumns: metadata sidecars present in
+                    # one arm only null-fill in the others
+                    udf = udf.unionByName(p_, allowMissingColumns=True)
                 df, bound = self._join(df, bound, udf, uvars)
             elif kind == "values":
                 names, rows = payload
@@ -1359,6 +1472,10 @@ class SparqlEngine:
         right = odf
         for k in keys:
             right = right.withColumnRenamed(k, f"__opt_{k}")
+        dup = [c for c in right.columns
+               if c.startswith("__m_") and c in df.columns]
+        for c in dup:
+            right = right.withColumnRenamed(c, "__r" + c)
         cond = F.lit(True)
         for k in keys:
             cond = cond & (F.col(k) == F.col(f"__opt_{k}"))
@@ -1367,6 +1484,9 @@ class SparqlEngine:
             cond = cond & self._expr(flt, None, jbound)
         out = df.join(right, cond, "left").drop(
             *[f"__opt_{k}" for k in keys])
+        for c in dup:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.col("__r" + c))).drop("__r" + c)
         return out, bound | ovars
 
     def _exists_join(self, df, bound, flt) -> DataFrame:
@@ -1526,7 +1646,81 @@ class SparqlEngine:
                 if name == "SECONDS":
                     return part.try_cast("double")
                 return part.try_cast("int")
+            if name in _INTROSPECT:
+                return self._introspect(name, e[2][0], df)
+            if name == "LANGMATCHES":
+                rng_e = e[2][1]
+                if rng_e[0] != "lit":
+                    raise ValueError("LANGMATCHES range must be a literal")
+                rng = rng_e[1]
+                lang_c = cargs[0]
+                if rng == "*":
+                    return lang_c != ""
+                low = F.lower(lang_c)
+                # RFC 4647 basic filtering: exact tag or prefix + "-"
+                return (low == rng.lower()) | \
+                    low.startswith(rng.lower() + "-")
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _introspect(self, name: str, arg, df) -> Column:
+        """LANG / DATATYPE / isIRI / isURI / isLiteral / isBlank over a
+        variable (via its metadata sidecars) or a constant term.
+
+        Documented model: a variable bound only where no metadata exists
+        (property-path objects, VALUES rows, BIND/subquery results) is a
+        simple literal — LANG "" , DATATYPE xsd:string, isLiteral true;
+        isIRI falls back to the engine-wide IRI shape heuristic
+        (operators/store.py's obj_is_uri fallback)."""
+        if arg[0] == "lit":
+            _, lex, dt, lang = arg
+            return {
+                "LANG": F.lit(lang or ""),
+                "DATATYPE": F.lit(
+                    dt or (RDF_LANGSTRING if lang else XSD_STRING)),
+                "ISIRI": F.lit(False), "ISURI": F.lit(False),
+                "ISBLANK": F.lit(False), "ISLITERAL": F.lit(True),
+            }[name]
+        if arg[0] == "iri":
+            if name in ("ISIRI", "ISURI"):
+                return F.lit(True)
+            if name in ("ISLITERAL", "ISBLANK"):
+                return F.lit(False)
+            # LANG/DATATYPE of an IRI is a type error → NULL (errors are
+            # NULL in this engine: FILTER drops, BIND leaves unbound)
+            return F.lit(None).cast("string")
+        v = arg[1]
+        val = F.col(v)
+        has = df is not None and _meta_col(v, "dt") in df.columns
+        if not has:
+            heur_uri = val.rlike(_URI_SHAPE)
+            return {
+                "LANG": F.when(val.isNotNull(), F.lit("")),
+                "DATATYPE": F.when(val.isNotNull(), F.lit(XSD_STRING)),
+                "ISIRI": heur_uri, "ISURI": heur_uri,
+                "ISBLANK": val.startswith("_:"),
+                "ISLITERAL": val.isNotNull() & ~heur_uri
+                & ~val.startswith("_:"),
+            }[name]
+        dt_c = F.col(_meta_col(v, "dt"))
+        lang_c = F.col(_meta_col(v, "lang"))
+        uri_c = F.coalesce(F.col(_meta_col(v, "uri")), F.lit(False))
+        is_blank = uri_c & val.startswith("_:")
+        is_iri = uri_c & ~val.startswith("_:")
+        if name in ("ISIRI", "ISURI"):
+            return F.when(val.isNotNull(), is_iri)
+        if name == "ISBLANK":
+            return F.when(val.isNotNull(), is_blank)
+        if name == "ISLITERAL":
+            return F.when(val.isNotNull(), ~uri_c)
+        lit_dt = F.coalesce(
+            dt_c,
+            F.when(lang_c.isNotNull() & (lang_c != ""),
+                   F.lit(RDF_LANGSTRING)).otherwise(F.lit(XSD_STRING)))
+        if name == "DATATYPE":
+            return F.when(val.isNotNull() & ~uri_c, lit_dt)
+        # LANG: "" for literals without a tag; NULL (error) for IRIs
+        return F.when(val.isNotNull() & ~uri_c,
+                      F.coalesce(lang_c, F.lit("")))
 
     def _bind_if_exists(self, df, bound, expr, var) -> DataFrame:
         """``BIND(IF(EXISTS{...}, t, f) AS ?v)`` per-row: left-join a

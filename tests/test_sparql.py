@@ -739,3 +739,74 @@ def test_construct_where_shorthand(eng):
     assert len(short) == 3
     with pytest.raises(ValueError):
         eng.construct("CONSTRUCT WHERE { ?s <urn:p>+ ?o . }")
+
+
+def test_term_introspection_builtins(spark):
+    """LANG / DATATYPE / isIRI / isLITERAL / isBLANK / LANGMATCHES over
+    typed, lang-tagged, plain-literal, IRI and blank-node objects —
+    metadata sidecars flow through joins, OPTIONAL and UNION."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+    rdf_ls = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = [
+        ("urn:a", "urn:label", "chat", None, "fr", None),
+        ("urn:a", "urn:label", "cat hello", None, "en-US", None),
+        ("urn:a", "urn:num", "42", xsd_int, None, None),
+        ("urn:a", "urn:plain", "just text", None, None, None),
+        ("urn:a", "urn:ref", "urn:b", None, None, None),
+        ("urn:a", "urn:ref", "_:blank0", None, None, None),
+        ("urn:b", "urn:label", "hund", None, "de", None),
+    ]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    # LANG + LANGMATCHES: en range matches en-US (basic filtering)
+    r = eng.query("""SELECT ?l WHERE { ?s <urn:label> ?l .
+        FILTER(LANGMATCHES(LANG(?l), "en")) }""").collect()
+    assert [x["l"] for x in r] == ["cat hello"]
+    r = eng.query("""SELECT ?l ?lang WHERE { ?s <urn:label> ?l .
+        BIND(LANG(?l) AS ?lang) } ORDER BY ?l""").collect()
+    assert [(x["l"], x["lang"]) for x in r] == [
+        ("cat hello", "en-US"), ("chat", "fr"), ("hund", "de")]
+    # DATATYPE: explicit dt, langString for tagged, xsd:string for plain,
+    # NULL (error) for IRIs/blanks
+    r = eng.query("""SELECT ?o ?dt WHERE { <urn:a> ?p ?o .
+        BIND(DATATYPE(?o) AS ?dt) } ORDER BY ?o""").collect()
+    got = {x["o"]: x["dt"] for x in r}
+    assert got["42"] == xsd_int
+    assert got["chat"] == rdf_ls
+    assert got["just text"] == xsd_str
+    assert got["urn:b"] is None and got["_:blank0"] is None
+    # isIRI / isBLANK / isLITERAL (obj_is_uri column absent → the shape
+    # heuristic classifies urn:b as IRI, _:blank0 as blank)
+    r = eng.query("""SELECT ?o WHERE { <urn:a> <urn:ref> ?o .
+        FILTER(isIRI(?o)) }""").collect()
+    assert [x["o"] for x in r] == ["urn:b"]
+    r = eng.query("""SELECT ?o WHERE { <urn:a> <urn:ref> ?o .
+        FILTER(isBLANK(?o)) }""").collect()
+    assert [x["o"] for x in r] == ["_:blank0"]
+    r = eng.query("""SELECT ?o WHERE { <urn:a> ?p ?o .
+        FILTER(isLITERAL(?o)) } ORDER BY ?o""").collect()
+    assert [x["o"] for x in r] == ["42", "cat hello", "chat", "just text"]
+    # subject-position introspection: statically an IRI
+    r = eng.query("""SELECT DISTINCT ?s WHERE { ?s <urn:label> ?l .
+        FILTER(isIRI(?s)) } ORDER BY ?s""").collect()
+    assert [x["s"] for x in r] == ["urn:a", "urn:b"]
+    # sidecars survive a join on the shared variable
+    r = eng.query("""SELECT ?l WHERE {
+        <urn:a> <urn:label> ?l . ?s2 <urn:label> ?l .
+        FILTER(LANGMATCHES(LANG(?l), "fr")) }""").collect()
+    assert [x["l"] for x in r] == ["chat"]
+    # OPTIONAL: LANG of an unmatched optional var is NULL-safe
+    r = eng.query("""SELECT ?s ?lang WHERE {
+        ?s <urn:ref> ?o . OPTIONAL { ?o <urn:label> ?l }
+        BIND(LANG(?l) AS ?lang) } ORDER BY ?o""").collect()
+    assert [x["lang"] for x in r] == [None, "de"]
+    # UNION: metadata null-fills across arms
+    r = eng.query("""SELECT ?v WHERE {
+        { <urn:a> <urn:num> ?v } UNION { <urn:a> <urn:label> ?v }
+        FILTER(DATATYPE(?v) = <http://www.w3.org/2001/XMLSchema#integer>)
+        }""").collect()
+    assert [x["v"] for x in r] == ["42"]
+    # computed argument raises (documented subset)
+    with pytest.raises(ValueError):
+        eng.query("""SELECT ?s WHERE { ?s <urn:plain> ?o .
+            FILTER(isLITERAL(STR(?o))) }""")
