@@ -42,7 +42,10 @@ tests) uses the fragment implemented here:
   ``DATATYPE``, ``isIRI``/``isURI``, ``isLITERAL``, ``isBLANK``,
   ``LANGMATCHES`` (RFC 4647 basic filtering) — compiled against hidden
   metadata sidecar columns projected ONLY for the variables a query
-  introspects, so other plans are untouched,
+  introspects, so other plans are untouched — term constructors
+  ``IRI``/``URI`` (no BASE resolution), ``STRLANG``, ``STRDT`` (value =
+  lexical form; the constructed metadata materializes through an
+  introspected ``BIND`` target),
   ``EXISTS { }`` / ``NOT EXISTS { }``;
 - solution modifiers ``GROUP BY``, ``HAVING`` (aggregates hoisted into
   hidden post-agg columns), ``ORDER BY [ASC|DESC]``, ``LIMIT``,
@@ -633,7 +636,8 @@ class _Parser:
               "ENCODE_FOR_URI": 1, "YEAR": 1, "MONTH": 1, "DAY": 1,
               "HOURS": 1, "MINUTES": 1, "SECONDS": 1, "TZ": 1,
               "LANG": 1, "DATATYPE": 1, "ISIRI": 1, "ISURI": 1,
-              "ISLITERAL": 1, "ISBLANK": 1, "LANGMATCHES": 2}
+              "ISLITERAL": 1, "ISBLANK": 1, "LANGMATCHES": 2,
+              "IRI": 1, "URI": 1, "STRLANG": 2, "STRDT": 2}
 
     def _unary(self):
         kind, val = self._peek()
@@ -1430,6 +1434,8 @@ class SparqlEngine:
                     df = self._bind_if_exists(df, bound, expr, var)
                 else:
                     df = df.withColumn(var, self._expr(expr, df, bound))
+                    if var in self._meta:
+                        df = self._bind_meta(df, var, expr)
                 bound.add(var)
         for flt in g.filters:
             if flt[0] == "exists":
@@ -1646,6 +1652,13 @@ class SparqlEngine:
                 if name == "SECONDS":
                     return part.try_cast("double")
                 return part.try_cast("int")
+            if name in ("IRI", "URI", "STRLANG", "STRDT"):
+                # term constructors: the VALUE is the lexical form (the
+                # engine's string model); the constructed term's
+                # metadata materializes only when the surrounding
+                # BIND(... AS ?v) target is introspected (_bind_meta).
+                # IRI() does not resolve against BASE (documented).
+                return cargs[0]
             if name in _INTROSPECT:
                 return self._introspect(name, e[2][0], df)
             if name == "LANGMATCHES":
@@ -1661,6 +1674,46 @@ class SparqlEngine:
                 return (low == rng.lower()) | \
                     low.startswith(rng.lower() + "-")
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _bind_meta(self, df, var: str, expr) -> DataFrame:
+        """Metadata sidecars for an introspected BIND target: copied
+        from the source variable for a plain copy, static for constant
+        terms and the term constructors IRI()/URI()/STRLANG/STRDT,
+        simple-literal for every other computed expression."""
+        null_s = F.lit(None).cast("string")
+        dt, lang, uri = null_s, null_s, F.lit(False)
+        if expr[0] == "var" and _meta_col(expr[1], "dt") in df.columns:
+            dt = F.col(_meta_col(expr[1], "dt"))
+            lang = F.col(_meta_col(expr[1], "lang"))
+            uri = F.col(_meta_col(expr[1], "uri"))
+        elif expr[0] == "var":
+            # copying a sidecar-less variable: keep the same shape
+            # heuristic its direct introspection would use
+            src = F.col(expr[1])
+            uri = src.rlike(_URI_SHAPE) | src.startswith("_:")
+        elif expr[0] == "iri":
+            uri = F.lit(True)
+        elif expr[0] == "lit":
+            _, _lex, dt0, lang0 = expr
+            dt = F.lit(dt0) if dt0 else null_s
+            lang = F.lit(lang0) if lang0 else null_s
+        elif expr[0] == "func":
+            nm = expr[1]
+            if nm in ("IRI", "URI"):
+                uri = F.lit(True)
+            elif nm == "STRLANG":
+                tag = expr[2][1]
+                if tag[0] != "lit":
+                    raise ValueError("STRLANG tag must be a literal")
+                lang = F.lit(tag[1])
+            elif nm == "STRDT":
+                dte = expr[2][1]
+                if dte[0] != "iri":
+                    raise ValueError("STRDT datatype must be an IRI")
+                dt = F.lit(dte[1])
+        return (df.withColumn(_meta_col(var, "dt"), dt)
+                .withColumn(_meta_col(var, "lang"), lang)
+                .withColumn(_meta_col(var, "uri"), uri))
 
     def _introspect(self, name: str, arg, df) -> Column:
         """LANG / DATATYPE / isIRI / isURI / isLiteral / isBlank over a

@@ -810,3 +810,28 @@ def test_term_introspection_builtins(spark):
     with pytest.raises(ValueError):
         eng.query("""SELECT ?s WHERE { ?s <urn:plain> ?o .
             FILTER(isLITERAL(STR(?o))) }""")
+
+
+def test_term_constructors(spark):
+    """IRI()/STRLANG/STRDT: value is the lexical form; metadata
+    materializes through an introspected BIND target."""
+    rows = [("urn:a", "urn:name", "page one", None, None, None)]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    r = eng.query("""SELECT ?u ?isi ?tagged ?lang ?typed ?dt WHERE {
+        ?s <urn:name> ?n .
+        BIND(IRI(CONCAT("http://ex.org/", ENCODE_FOR_URI(?n))) AS ?u)
+        BIND(isIRI(?u) AS ?isi)
+        BIND(STRLANG(?n, "en") AS ?tagged) BIND(LANG(?tagged) AS ?lang)
+        BIND(STRDT(?n, <http://www.w3.org/2001/XMLSchema#token>) AS
+             ?typed)
+        BIND(DATATYPE(?typed) AS ?dt) }""").collect()
+    row = r[0]
+    assert row["u"] == "http://ex.org/page%20one"
+    assert row["isi"] is True
+    assert (row["tagged"], row["lang"]) == ("page one", "en")
+    assert (row["typed"], row["dt"]) == (
+        "page one", "http://www.w3.org/2001/XMLSchema#token")
+    # BIND-copy of a variable keeps its introspection result
+    r = eng.query("""SELECT ?iri WHERE { ?s <urn:name> ?n .
+        BIND(?s AS ?c) BIND(isIRI(?c) AS ?iri) }""").collect()
+    assert r[0]["iri"] is True
