@@ -835,3 +835,22 @@ def test_term_constructors(spark):
     r = eng.query("""SELECT ?iri WHERE { ?s <urn:name> ?n .
         BIND(?s AS ?c) BIND(isIRI(?c) AS ?iri) }""").collect()
     assert r[0]["iri"] is True
+
+
+def test_sidecars_only_when_introspected(spark):
+    """Plan-identity guarantee: a query with no introspection builtins
+    compiles with ZERO metadata sidecar columns in its WHERE relation;
+    an introspecting query carries them only for the targeted vars."""
+    from kgraphmemory_spark.sparql import _Parser, _introspected_vars
+    eng = SparqlEngine(spark.createDataFrame(_rows(), SCHEMA))
+    q = _Parser("SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(CONTAINS(?o, "
+                '"a")) }').parse()
+    eng._meta = _introspected_vars(q)
+    df, _ = eng._group(q["where"])
+    assert not [c for c in df.columns if c.startswith("__m_")]
+    q = _Parser("SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }"
+                ).parse()
+    eng._meta = _introspected_vars(q)
+    df, _ = eng._group(q["where"])
+    assert sorted(c for c in df.columns if c.startswith("__m_")) == [
+        "__m_o__dt", "__m_o__lang", "__m_o__uri"]
