@@ -2182,6 +2182,28 @@ def q_g2(spark, sf):
                      F.round("pr", 4).alias("pr"))
 
 
+@register("sparql_introspect_census", f"""
+  WITH t AS ({SQL_TRIPLES_LONG})
+  SELECT predicate AS p,
+         CAST(SUM(CASE WHEN regexp_matches(
+                object, '^[A-Za-z][A-Za-z0-9+.-]*:[^\\s"<>]*$')
+              THEN 1 ELSE 0 END) AS DOUBLE) AS n_iri,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY 1 ORDER BY p
+""")
+def q_sparql_introspect(spark, sf):
+    """Term introspection through the raw SPARQL front-end: per-predicate
+    census of IRI-valued objects (isIRI over a table with no obj_is_uri
+    column exercises the engine-wide shape heuristic, which the DuckDB
+    twin reproduces as a regexp); below the certified fold,
+    mirror-verified."""
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(kg_tables(spark, sf).triples)
+    return eng.query("""SELECT ?p (SUM(IF(isIRI(?o), 1, 0)) AS ?n_iri)
+        (COUNT(*) AS ?n)
+        WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p""")
+
+
 # ===================== certification window curation ======================
 #
 # The driver's correctness gate certifies the FIRST 50 registry entries in
