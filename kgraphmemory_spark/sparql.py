@@ -109,6 +109,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from types import SimpleNamespace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1486,8 +1487,13 @@ class SparqlEngine:
         for k in keys:
             cond = cond & (F.col(k) == F.col(f"__opt_{k}"))
         jbound = bound | ovars
+        # deferred filters compile without a single DataFrame in hand;
+        # introspection still needs to see which sidecar columns exist
+        # across the two sides (post-rename), so hand _expr a view of
+        # the joined column namespace
+        jview = SimpleNamespace(columns=[*df.columns, *right.columns])
         for flt in deferred:
-            cond = cond & self._expr(flt, None, jbound)
+            cond = cond & self._expr(flt, jview, jbound)
         out = df.join(right, cond, "left").drop(
             *[f"__opt_{k}" for k in keys])
         for c in dup:

@@ -24,6 +24,7 @@ Failures print the query text + seed, so any divergence is replayable.
 
 import hashlib
 import random
+import re
 import urllib.parse
 from collections import Counter
 
@@ -41,6 +42,13 @@ NUM_PRED = "urn:num"
 LITS = ["alpha", "beta", "gamma", "delta", "epsilon"]
 IRIS = [f"urn:o{i}" for i in range(5)]
 GRAPHS = ["urn:g0", "urn:g1"]
+# lang-tagged literal values — value↔tag is a bijection, so term
+# metadata is a pure function of the lexical form and the naive
+# evaluator can introspect via _meta_of without tracking metadata
+# through joins (the engine's left-wins coalesce picks the same answer)
+TAGGED = {"chat": "fr", "cat": "en", "katze": "de-AT", "gato": "es"}
+XSD_STRING_DT = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 
 def _data(rng: random.Random) -> list[tuple]:
@@ -52,9 +60,24 @@ def _data(rng: random.Random) -> list[tuple]:
                          None, rng.choice(GRAPHS)))
         else:
             p = rng.choice(PREDS)
-            o = rng.choice(LITS + IRIS)
-            rows.append((s, p, o, None, None, rng.choice(GRAPHS)))
+            o = rng.choice(LITS + IRIS + sorted(TAGGED))
+            rows.append((s, p, o, None, TAGGED.get(o),
+                         rng.choice(GRAPHS)))
     return sorted(set(rows))
+
+
+def _meta_of(v):
+    """value → (datatype, lang, is_ref); total function of the value by
+    construction of the data tables above."""
+    if v is None:
+        return (None, None, None)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", v):
+        return (None, None, True)
+    if v in TAGGED:
+        return (None, TAGGED[v], False)
+    if v.isdigit():
+        return (XSD_INT, None, False)
+    return (None, None, False)
 
 
 # ---------------------------------------------------------------- naive
@@ -110,6 +133,18 @@ def _eval_filter(flt, mu):
     if var not in mu or mu[var] is None:
         return False
     v = mu[var]
+    if op in ("lang", "isiri", "dtype"):
+        dt, lang_, ref = _meta_of(v)
+        if op == "isiri":
+            return ref if rhs else not ref
+        if ref:              # LANG/DATATYPE of an IRI → error → False
+            return False
+        if op == "lang":
+            t = (lang_ or "").lower()
+            if rhs == "*":
+                return t != ""
+            return t == rhs.lower() or t.startswith(rhs.lower() + "-")
+        return (dt or (RDF_LS if lang_ else XSD_STRING_DT)) == rhs
     if op == "contains":
         return rhs in v
     if numeric:
@@ -228,7 +263,15 @@ def _gen_query(rng: random.Random):
         if rng.random() < 0.5:
             # filter referencing a LEFT-side variable (LeftJoin path)
             lft = rng.choice(sorted(set(base_vars) - {"z"}) or [anchor])
-            oflts.append(("!=", lft, rng.choice(LITS + IRIS), False))
+            if rng.random() < 0.4:
+                # introspection inside the DEFERRED LeftJoin condition —
+                # the engine resolves sidecars through the joined
+                # column namespace here
+                oflts.append(rng.choice([
+                    ("isiri", lft, True, False),
+                    ("lang", lft, "en", False)]))
+            else:
+                oflts.append(("!=", lft, rng.choice(LITS + IRIS), False))
         if rng.random() < 0.4:
             oflts.append(("contains", "z", rng.choice("aeop"), False))
         optional = (opat, oflts)
@@ -240,14 +283,30 @@ def _gen_query(rng: random.Random):
                  ("iri", rng.choice(PREDS)), mo)
     bound = set(base_vars) | ({"q"} if bind else set()) | (
         _pat_vars(union[0]) if union else set())
-    if bound and rng.random() < 0.6:
+    if bound and rng.random() < 0.7:
         var = rng.choice(sorted(bound))
+        # introspection filters only target pattern-bound vars (?q is a
+        # BIND product — the engine treats computed values as simple
+        # literals while _meta_of would look its value up in the data)
+        pat_bound = sorted(bound - {"q"})
+        r2 = rng.random()
         if want_numeric and var in "vwxy" and rng.random() < 0.5:
             filters.append((rng.choice(("<", ">")), var,
                             str(rng.randint(2, 7)), True))
-        else:
+        elif r2 < 0.45 or not pat_bound:
             filters.append((rng.choice(("=", "!=", "contains")), var,
                             rng.choice(LITS + IRIS + ["a"]), False))
+        elif r2 < 0.65:
+            filters.append(("lang", rng.choice(pat_bound),
+                            rng.choice(["en", "fr", "de", "es", "*"]),
+                            False))
+        elif r2 < 0.85:
+            filters.append(("isiri", rng.choice(pat_bound),
+                            rng.random() < 0.5, False))
+        else:
+            filters.append(("dtype", rng.choice(pat_bound),
+                            rng.choice([XSD_INT, XSD_STRING_DT, RDF_LS]),
+                            False))
     projable = sorted(bound | ({"z"} if optional else set()))
     k = rng.randint(1, len(projable))
     proj = sorted(rng.sample(projable, k))
@@ -276,6 +335,13 @@ def _to_text(q):
         op, var, rhs, numeric = f
         if op == "contains":
             return f'FILTER(CONTAINS(?{var}, "{rhs}"))'
+        if op == "lang":
+            return f'FILTER(LANGMATCHES(LANG(?{var}), "{rhs}"))'
+        if op == "isiri":
+            return (f"FILTER(isIRI(?{var}))" if rhs
+                    else f"FILTER(!isIRI(?{var}))")
+        if op == "dtype":
+            return f"FILTER(DATATYPE(?{var}) = <{rhs}>)"
         r = rhs if numeric else (f"<{rhs}>" if rhs.startswith("urn:")
                                  else f'"{rhs}"')
         return f"FILTER(?{var} {op} {r})"
@@ -304,7 +370,7 @@ def _sort_key(tup):
 
 # ------------------------------------------------------------- the test
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [7, 11, 23, 47, 101])
 def test_sparql_differential_battery(spark, seed):
     rng = random.Random(seed)
     rows = _data(rng)
