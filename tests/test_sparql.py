@@ -854,3 +854,20 @@ def test_sidecars_only_when_introspected(spark):
     df, _ = eng._group(q["where"])
     assert sorted(c for c in df.columns if c.startswith("__m_")) == [
         "__m_o__dt", "__m_o__lang", "__m_o__uri"]
+
+
+def test_update_with_introspection_filter(spark):
+    """DELETE-WHERE whose pattern filters on isIRI: only ref-valued
+    triples vanish; sidecars never leak into the returned table."""
+    rows = [("urn:a", "urn:p", "urn:b", None, None, None),
+            ("urn:a", "urn:p", "plain text", None, None, None),
+            ("urn:a", "urn:q", "urn:c", None, None, None)]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    out = eng.update("""DELETE { ?s <urn:p> ?o }
+        WHERE { ?s <urn:p> ?o . FILTER(isIRI(?o)) }""")
+    assert sorted(out.columns) == sorted(
+        ["subject", "predicate", "object", "obj_datatype", "obj_lang",
+         "graph"])
+    got = sorted((r.subject, r.predicate, r.object) for r in out.collect())
+    assert got == [("urn:a", "urn:p", "plain text"),
+                   ("urn:a", "urn:q", "urn:c")]
