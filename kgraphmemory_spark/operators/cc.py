@@ -169,12 +169,17 @@ def connected_components(
             # shuffle-hash hint: mins is one row per node — building a
             # hash map per partition beats sort-merge's full sort of the
             # (much larger) edge side every round
+            # NO distinct here: the small star's orientation-normalized
+            # dedup right below restores set semantics, so the large
+            # star's own Exchange+HashAgg was a redundant 4th shuffle
+            # per round (A/B at 20M edges: 147 s idle → 127 s measured
+            # under ~10 cores of external load; same 7 rounds, exact
+            # component count)
             e = (
                 sym.join(mins.hint("shuffle_hash"), "u")
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .where(F.col("u") != F.col("v"))
-                .distinct()
             )
             # -- small star: orient edges high→low, link every low
             #    neighbor (and u itself) to the min
