@@ -871,3 +871,8 @@ def test_update_with_introspection_filter(spark):
     got = sorted((r.subject, r.predicate, r.object) for r in out.collect())
     assert got == [("urn:a", "urn:p", "plain text"),
                    ("urn:a", "urn:q", "urn:c")]
+
+
+def test_reserved_variable_names_raise(eng):
+    with pytest.raises(ValueError):
+        eng.query("SELECT ?__x WHERE { ?__x <urn:p> ?o . }")
