@@ -19,6 +19,17 @@ from ..functions.text import extract_text_udf
 from ..semantics import BIGRAM_ALIASES, REL_NEXT
 
 
+def _as_broadcast(docs: DataFrame, canonical_map):
+    """Accept either a plain dict (broadcast here) or an existing
+    ``pyspark.Broadcast`` handle — run_pipeline broadcasts the canonical
+    map ONCE and hands the same handle to all three doc-agg extractors,
+    instead of shipping up-to-hundreds-of-MB of dict three times."""
+    from pyspark.broadcast import Broadcast
+    if isinstance(canonical_map, Broadcast):
+        return canonical_map
+    return docs.sparkSession.sparkContext.broadcast(canonical_map)
+
+
 def extract_docs(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → docs_clean(url, warc_ts,
     text, lang, text_sha).  html wins over provided text when present."""
@@ -88,8 +99,7 @@ def extract_raw_triples(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_canonical_pair_counts(docs: DataFrame,
-                                  canonical_map: dict[str, str]) -> DataFrame:
+def extract_canonical_pair_counts(docs: DataFrame, canonical_map) -> DataFrame:
     """docs_clean → (url, subj, obj, cnt): per-document CANONICAL pair
     counts, one row per distinct canonical pair per document — the
     doc-local half of the relations aggregate pushed into the extraction
@@ -115,8 +125,7 @@ def extract_canonical_pair_counts(docs: DataFrame,
     path's inner probe join).  Assumes url is unique per docs_clean row
     (it is the input table's key — BASELINE input_hint).
     """
-    spark = docs.sparkSession
-    bmap = spark.sparkContext.broadcast(canonical_map)
+    bmap = _as_broadcast(docs, canonical_map)
 
     def gen(batches):
         import numpy as np
@@ -188,8 +197,7 @@ def extract_canonical_pair_counts(docs: DataFrame,
         gen, schema="url string, subj string, obj string, cnt long")
 
 
-def extract_entity_counts_docagg(docs: DataFrame,
-                                 canonical_map: dict[str, str]) -> DataFrame:
+def extract_entity_counts_docagg(docs: DataFrame, canonical_map) -> DataFrame:
     """docs_clean → per-batch partial entity aggregates
     (canonical_id, name, big, cnt) — the entities analog of the
     relations/provenance fast paths.
@@ -211,8 +219,7 @@ def extract_entity_counts_docagg(docs: DataFrame,
     the pipeline's discovered alias always resolves).  Gated like the
     other doc-agg paths on the vocabulary ceiling.
     """
-    spark = docs.sparkSession
-    bmap = spark.sparkContext.broadcast(canonical_map)
+    bmap = _as_broadcast(docs, canonical_map)
     first_words = {k.split(" ")[0] for k in BIGRAM_ALIASES}
 
     def gen(batches):
@@ -297,8 +304,7 @@ def extract_entity_counts_docagg(docs: DataFrame,
         gen, schema="canonical_id string, name string, big int, cnt long")
 
 
-def extract_provenance_docagg(docs: DataFrame,
-                              canonical_map: dict[str, str]) -> DataFrame:
+def extract_provenance_docagg(docs: DataFrame, canonical_map) -> DataFrame:
     """docs_clean → provenance(url, n_mentions, n_entities, n_triples),
     computed entirely doc-locally — the provenance analog of the
     relations fast path.
@@ -325,8 +331,7 @@ def extract_provenance_docagg(docs: DataFrame,
     Only valid under the vocabulary ceiling where ``canonical_map`` is a
     driver dict (run_pipeline gates on RELATIONS_DOCAGG_MAX_VOCAB).
     """
-    spark = docs.sparkSession
-    bmap = spark.sparkContext.broadcast(canonical_map)
+    bmap = _as_broadcast(docs, canonical_map)
     # 4-entry phrase table → candidate pairs are prefiltered to the few
     # whose first token can open a phrase, so the string lookup below
     # touches a tiny unique set per batch

@@ -216,9 +216,14 @@ def run_pipeline(
 
     # vocabulary under the dict ceiling (rows AND bytes) → the canonical
     # map lives on the driver and unlocks the doc-aggregated fast paths
-    # for relations, entities and provenance below
+    # for relations, entities and provenance below.  Broadcast ONCE and
+    # hand the same handle to all three extractors — the bytes ceiling
+    # allows this dict to reach ~hundreds of MB, and three independent
+    # broadcasts would ship (and pin) three copies of it (ADVICE r3).
     cmap = ({r["entity_id"]: r["canonical_id"] for r in canonical.collect()}
             if use_docagg else None)
+    bcmap = (spark.sparkContext.broadcast(cmap)
+             if cmap is not None else None)
 
     def _linked_canonical() -> DataFrame:
         canon = F.broadcast(canonical) if broadcast_vocab else canonical
@@ -239,7 +244,7 @@ def run_pipeline(
     def _entities() -> DataFrame:
         if cmap is not None:
             return build_entities_docagg(
-                extract_entity_counts_docagg(docs_clean, cmap))
+                extract_entity_counts_docagg(docs_clean, bcmap))
         return build_entities_preagg(
             mentions, ranked, canonical, broadcast_alias=broadcast_vocab)
 
@@ -257,7 +262,7 @@ def run_pipeline(
         # pre-aggregated shuffle path.
         if cmap is not None:
             return build_relations_docagg(
-                extract_canonical_pair_counts(docs_clean, cmap))
+                extract_canonical_pair_counts(docs_clean, bcmap))
         return build_relations(raw_triples, canonical,
                                broadcast_canonical=broadcast_vocab)
 
@@ -283,7 +288,7 @@ def run_pipeline(
         # of a url live in one docs_clean row — extraction.py docstring);
         # open vocabulary → the keyed-aggregate shuffle path
         if cmap is not None:
-            return extract_provenance_docagg(docs_clean, cmap)
+            return extract_provenance_docagg(docs_clean, bcmap)
         return build_provenance(linked_canonical, raw_triples)
 
     provenance = stage("provenance", _provenance)
