@@ -299,17 +299,43 @@ def count_points(points: DataFrame,
     return out.agg(F.count(F.lit(1)).alias("n_points"))
 
 
+BROADCAST_MAX_CANDIDATE_ROWS = 5_000_000
+
+
 def hybrid_search(vectors: DataFrame, graph_candidates: DataFrame,
                   query_text: str, k: int = 10,
                   vector_id: str | None = None,
-                  uri_col: str = "entity_id") -> DataFrame:
+                  uri_col: str = "entity_id",
+                  broadcast_max_rows: int = BROADCAST_MAX_CANDIDATE_ROWS,
+                  _strategy: dict | None = None) -> DataFrame:
     """Hybrid search (kgraph.py:296-346) with the ASK-per-candidate loop
     replaced by one left-semi join: `graph_candidates` is any DataFrame of
     URIs satisfying the graph-side predicate (the materialized form of the
     SPARQL filter); fetch-2k-then-filter (kgraph.py:315) is unnecessary —
-    the semi join runs below the top-k."""
+    the semi join runs below the top-k.
+
+    The broadcast of the candidate set is GATED on its cardinality
+    (same discipline as ``linking.resolve_strategy`` — r3 VERDICT item):
+    a selective graph filter yields a few thousand URIs and the hint is
+    free, but a permissive SPARQL filter at 100× corpus scale can return
+    a candidate set that would OOM the driver if broadcast
+    unconditionally.  Past the cutover the hint is dropped and the plan
+    is a plain shuffled left-semi join — AQE still converts it back to a
+    broadcast join at runtime whenever the actual size is small.  The
+    count probe runs on the deduped single-column projection (cheap; on
+    iterative callers pass a cached candidate frame).  ``_strategy``, if
+    given, records the decision for tests."""
     cand = graph_candidates.select(F.col(uri_col).cast("string").alias("uri")).distinct()
-    out = vectors.join(F.broadcast(cand), "uri", "left_semi")
+    n_cand = cand.count()
+    if n_cand <= broadcast_max_rows:
+        cand = F.broadcast(cand)
+        if _strategy is not None:
+            _strategy["candidates"] = "broadcast"
+    elif _strategy is not None:
+        _strategy["candidates"] = "shuffle"
+    if _strategy is not None:
+        _strategy["n_candidates"] = n_cand
+    out = vectors.join(cand, "uri", "left_semi")
     if vector_id is not None:
         out = out.where(F.col("vector_id") == vector_id)
     qvec = embed_text(query_text)

@@ -141,6 +141,27 @@ def test_hybrid_semi_join(vectors, entities):
     assert {h.uri for h in hits} == {"ent:merge"}
 
 
+def test_hybrid_broadcast_gate(vectors, entities):
+    """Supra-threshold candidate sets must NOT carry the broadcast hint
+    (r3 VERDICT: an unconditional F.broadcast(cand) OOMs the driver when
+    a permissive SPARQL filter yields a huge candidate set at 100×).
+    Same results either way; AQE may still broadcast at runtime."""
+    phrases = entities.where(F.col("entity_type") == "urn:kg:Phrase")
+    strat: dict = {}
+    hits_b = hybrid_search(vectors, phrases, "hash join", k=10,
+                           vector_id="entity_value",
+                           _strategy=strat).collect()
+    assert strat["candidates"] == "broadcast"
+    strat = {}
+    hits_s = hybrid_search(vectors, phrases, "hash join", k=10,
+                           vector_id="entity_value",
+                           broadcast_max_rows=1, _strategy=strat).collect()
+    assert strat["candidates"] == "shuffle"
+    assert strat["n_candidates"] > 1
+    assert [(h.uri, h.score) for h in hits_s] == \
+        [(h.uri, h.score) for h in hits_b]
+
+
 def test_search_all_types_one_plan(spark, entities):
     """search_all (kgraph_bridge.py:139-150): per-object-family top-k out
     of ONE scored scan + window, vs the reference's sequential per-family
