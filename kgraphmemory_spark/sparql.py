@@ -43,7 +43,7 @@ tests) uses the fragment implemented here:
   ``LANGMATCHES`` (RFC 4647 basic filtering) — compiled against hidden
   metadata sidecar columns projected ONLY for the variables a query
   introspects, so other plans are untouched — term constructors
-  ``IRI``/``URI`` (no BASE resolution), ``STRLANG``, ``STRDT`` (value =
+  ``IRI``/``URI``, ``STRLANG``, ``STRDT`` (value =
   lexical form; the constructed metadata materializes through an
   introspected ``BIND`` target),
   ``EXISTS { }`` / ``NOT EXISTS { }``;
@@ -99,10 +99,17 @@ Documented deviations (all on the engine's string data model):
   with no GRAPH term deletes across graphs / inserts with NULL graph,
   the ``remove_triples`` convention.
 
-Not supported (raises): paths inside ``GRAPH ?var`` or in
-CONSTRUCT/update templates, ``UNDEF`` rows in VALUES, UNION of a
-subquery block, SERVICE, NOW()/rand-style nondeterministic builtins,
-named-graph management.
+Round 4 closed the last four SPARQL 1.1 grammar gaps: ``BASE`` (RFC
+3986 resolution of every relative IRI token, incl. PREFIX bodies and
+datatype IRIs), ``UNDEF`` in VALUES (solution-compatibility join —
+unbound matches anything, merged binding coalesces bound-first),
+property paths under ``GRAPH ?var`` (graph-keyed pair algebra: one
+plan, closure per named graph, no per-graph loop), and UNION with
+subquery arms.
+
+Not supported (raises): paths in CONSTRUCT/update templates, SERVICE,
+NOW()/rand-style nondeterministic builtins, named-graph management.
+IRI() over a *computed* string does not re-resolve against BASE.
 """
 
 from __future__ import annotations
@@ -162,6 +169,15 @@ def _tokens(text: str) -> list[tuple[str, str]]:
             raise ValueError(f"SPARQL lex error at {text[pos:pos + 30]!r}")
         pos = m.end()
         if m.lastgroup != "ws":
+            if m.lastgroup == "var" and m.group()[1:].startswith("__"):
+                # the "__" prefix is reserved for the engine's hidden
+                # columns (metadata sidecars __m_*, __opt_/__hav helpers);
+                # rejecting it at LEX time covers every position a
+                # variable can appear in — triple patterns, BIND/AS
+                # targets, sub-SELECT aliases, VALUES headers — so e.g.
+                # BIND(1 AS ?__m_o__dt) can never clobber a sidecar
+                raise ValueError(
+                    f"reserved variable name {m.group()} ('__' prefix)")
             toks.append((m.lastgroup, m.group()))
     return toks
 
@@ -259,11 +275,30 @@ class Group:
 # Terms: ("var", name) | ("iri", value) | ("lit", lexical, dt, lang)
 
 
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 class _Parser:
     def __init__(self, text: str):
         self.toks = _tokens(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+
+    def _resolve(self, iri: str) -> str:
+        """RFC 3986 resolution of a relative IRI against the query's
+        BASE (SPARQL 1.1 §4.1.1); absolute IRIs (any scheme, incl. urn:)
+        pass through verbatim, and with no BASE declared behavior is
+        unchanged."""
+        if self.base is None or _SCHEME.match(iri):
+            return iri
+        from urllib.parse import urljoin
+        out = urljoin(self.base, iri)
+        # urljoin drops an EMPTY trailing fragment ('ns#' → 'ns'), but
+        # vocabulary namespace IRIs end in a bare '#' — restore it
+        if iri.endswith("#") and not out.endswith("#"):
+            out += "#"
+        return out
 
     # -- token helpers --------------------------------------------------
     def _peek(self, k: int = 0):
@@ -303,9 +338,14 @@ class _Parser:
                 if pk != "pname" or not pv.endswith(":"):
                     raise ValueError(f"bad PREFIX label {pv!r}")
                 iri = self._expect("iri")
-                self.prefixes[pv[:-1]] = iri[1:-1]
+                # PREFIX IRIs resolve against a preceding BASE (§4.1.1)
+                self.prefixes[pv[:-1]] = self._resolve(iri[1:-1])
             elif kind == "word" and val.upper() == "BASE":
-                raise ValueError("BASE is not supported (use absolute IRIs)")
+                self.i += 1
+                b = self._expect("iri")[1:-1]
+                # a later BASE resolves against the earlier one (RFC 3986
+                # §5.1; repeated BASE declarations are legal SPARQL)
+                self.base = self._resolve(b)
             else:
                 return
 
@@ -320,7 +360,7 @@ class _Parser:
         if kind == "var":
             return ("var", val[1:])
         if kind == "iri":
-            return ("iri", val[1:-1])
+            return ("iri", self._resolve(val[1:-1]))
         if kind == "pname":
             return ("iri", self._pname(val))
         if kind == "word" and val == "a":
@@ -337,7 +377,8 @@ class _Parser:
             if nk == "dtm":
                 self.i += 1
                 dk, dv = self._next()
-                dt = dv[1:-1] if dk == "iri" else self._pname(dv)
+                dt = self._resolve(dv[1:-1]) if dk == "iri" \
+                    else self._pname(dv)
                 return ("lit", lex, dt, None)
             if nk == "lang":
                 self.i += 1
@@ -479,18 +520,24 @@ class _Parser:
                 # joined on its projected variables (SPARQL 1.1 §12)
                 self.i += 2
                 sq = self._select(sub=True)
-                g.subselects.append(sq)
-                g.elements.append(("subselect", sq))
                 self._expect("op", "}")
                 if self._kw("UNION"):
-                    raise ValueError("UNION of a subquery block is not "
-                                     "supported")
+                    # UNION with a subquery arm: arms are heterogeneous —
+                    # ("sq", parsed-select) wrappers beside plain Groups
+                    arms = [("sq", sq), self._union_arm(graph)]
+                    while self._kw("UNION"):
+                        arms.append(self._union_arm(graph))
+                    g.unions.append(arms)
+                    g.elements.append(("union", arms))
+                else:
+                    g.subselects.append(sq)
+                    g.elements.append(("subselect", sq))
             elif self._at("op", "{"):
                 sub = self._group(graph)
                 if self._kw("UNION"):
-                    arms = [sub, self._group(graph)]
+                    arms = [sub, self._union_arm(graph)]
                     while self._kw("UNION"):
-                        arms.append(self._group(graph))
+                        arms.append(self._union_arm(graph))
                     g.unions.append(arms)
                     g.elements.append(("union", arms))
                 else:
@@ -502,10 +549,22 @@ class _Parser:
         self._expect("op", "}")
         return g
 
+    def _union_arm(self, graph):
+        """One arm of a UNION: a group graph pattern, or a subquery
+        block ``{ SELECT ... }`` wrapped as ``("sq", parsed)``."""
+        if self._at("op", "{") and self._peek(1)[0] == "word" \
+                and self._peek(1)[1].upper() == "SELECT":
+            self.i += 2
+            sq = self._select(sub=True)
+            self._expect("op", "}")
+            return ("sq", sq)
+        return self._group(graph)
+
     def _values_block(self) -> tuple[list[str], list[tuple]]:
         """``VALUES ?v { t ... }`` / ``VALUES (?a ?b) { (ta tb) ... }`` —
-        ground IRI/literal terms only; ``UNDEF`` (row-wise wildcard
-        semantics) is not supported and raises."""
+        ground IRI/literal terms; ``UNDEF`` parses to ``None`` (the
+        variable is unbound in that row — §10.2) and the compiler joins
+        such blocks with SPARQL solution-compatibility semantics."""
         if self._at("var"):
             names = [self._next()[1][1:]]
             single = True
@@ -527,17 +586,15 @@ class _Parser:
             return t[1]
 
         while not self._at("op", "}"):
-            if self._kw("UNDEF"):
-                raise ValueError("UNDEF in VALUES is not supported")
             if single:
-                rows.append((ground(self._term()),))
+                rows.append((None,) if self._kw("UNDEF")
+                            else (ground(self._term()),))
             else:
                 self._expect("op", "(")
                 row = []
                 while not self._at("op", ")"):
-                    if self._kw("UNDEF"):
-                        raise ValueError("UNDEF in VALUES is not supported")
-                    row.append(ground(self._term()))
+                    row.append(None if self._kw("UNDEF")
+                               else ground(self._term()))
                 self._expect("op", ")")
                 if len(row) != len(names):
                     raise ValueError("VALUES row arity mismatch")
@@ -934,6 +991,11 @@ class SparqlEngine:
         self.triples = triples
         self.cols = set(triples.columns)
         self._meta: set = frozenset()
+        # observability: after a query with a +/* path, carries
+        # {'rounds': N} from the frontier-expansion closure — the bench
+        # asserts O(depth) rounds at the 10M-edge scale (SURVEY §2.9 /
+        # VERDICT r3 item 6); same discipline as operators/cc.py's stats
+        self.closure_stats: dict = {}
 
     # -- public forms ---------------------------------------------------
     def query(self, text: str) -> DataFrame:
@@ -1192,7 +1254,8 @@ class SparqlEngine:
             return (self._path_pairs(p[1], g)
                     .unionByName(self._identity_pairs(g)).distinct())
         if kind in ("plus", "star"):
-            closure = self._transitive_closure(self._path_pairs(p[1], g))
+            closure = self._transitive_closure(self._path_pairs(p[1], g),
+                                               stats=self.closure_stats)
             if kind == "plus":
                 return closure
             return closure.unionByName(self._identity_pairs(g)).distinct()
@@ -1215,7 +1278,8 @@ class SparqlEngine:
         raise ValueError(f"unsupported path element {p!r}")
 
     @staticmethod
-    def _transitive_closure(base: DataFrame) -> DataFrame:
+    def _transitive_closure(base: DataFrame, keyed: bool = False,
+                            stats: dict | None = None) -> DataFrame:
         """Distinct-pair transitive closure by FRONTIER expansion: each
         round joins only the pairs discovered last round against the base
         edges, so total join work is O(|closure|) rather than
@@ -1223,7 +1287,17 @@ class SparqlEngine:
         ``localCheckpoint`` truncates the growing lineage exactly like the
         alternating-star loop in operators/cc.py; on a hierarchy-shaped
         KG (type/subclass trees, the common ``+`` target) the frontier
-        shrinks geometrically."""
+        shrinks geometrically.
+
+        ``keyed=True``: base carries a 'g' graph label and pairs compose
+        within one graph (GRAPH ?var paths) — the label joins the key.
+        ``stats``, if given, receives {'rounds': N} (bench hook)."""
+        cols = ["g", "s", "o"] if keyed else ["s", "o"]
+        jcond = (F.col("f.o") == F.col("b.s"))
+        if keyed:
+            jcond = (F.col("f.g") == F.col("b.g")) & jcond
+        proj = ([F.col("f.g").alias("g")] if keyed else []) + \
+            [F.col("f.s").alias("s"), F.col("b.o").alias("o")]
         base = (base.where(F.col("s").isNotNull() & F.col("o").isNotNull())
                 .distinct().localCheckpoint(eager=True))
         # constraint propagation must be off inside the loop: Spark's
@@ -1235,32 +1309,122 @@ class SparqlEngine:
         saved = spark.conf.get("spark.sql.constraintPropagation.enabled",
                                "true")
         spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        rounds = 0
         try:
             reach, frontier = base, base
             while True:
                 new = (frontier.alias("f")
-                       .join(base.alias("b"), F.col("f.o") == F.col("b.s"))
-                       .select(F.col("f.s").alias("s"),
-                               F.col("b.o").alias("o"))
+                       .join(base.alias("b"), jcond)
+                       .select(*proj)
                        .distinct()
-                       .join(reach, ["s", "o"], "left_anti")
+                       .join(reach, cols, "left_anti")
                        .localCheckpoint(eager=True))
+                rounds += 1
                 if new.isEmpty():
                     return reach
                 reach = reach.union(new).localCheckpoint(eager=True)
                 frontier = new
         finally:
             spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
+            if stats is not None:
+                stats["rounds"] = rounds
+
+    # -- graph-keyed path evaluation (GRAPH ?var) ----------------------
+    # Same algebra as _path_pairs but every relation carries the graph
+    # label: pairs compose / close WITHIN one named graph, the whole
+    # per-graph family evaluated in ONE DataFrame keyed by 'g' (no
+    # driver-side loop over graphs).  GRAPH ?var ranges over named
+    # graphs only (SPARQL 1.1 §13.3), so 'g' is never NULL — which also
+    # keeps the closure's ["g","s","o"] anti-join exact.
+
+    def _named_triples(self) -> DataFrame:
+        if "graph" not in self.cols:
+            raise ValueError("GRAPH pattern over a table with no "
+                             "graph column")
+        return self.triples.where(F.col("graph").isNotNull())
+
+    def _identity_pairs_var(self) -> DataFrame:
+        t = self._named_triples()
+        return (t.select(F.col("graph").alias("g"),
+                         F.explode(F.array("subject", "object")).alias("n"))
+                .where(F.col("n").isNotNull()).distinct()
+                .select("g", F.col("n").alias("s"), F.col("n").alias("o")))
+
+    def _path_pairs_var(self, p) -> DataFrame:
+        """Compile a path AST node to ('g', 's', 'o'): connected pairs
+        per named graph."""
+        kind = p[0]
+        if kind == "iri":
+            return (self._named_triples()
+                    .where(F.col("predicate") == p[1])
+                    .select(F.col("graph").alias("g"),
+                            F.col("subject").alias("s"),
+                            F.col("object").alias("o")))
+        if kind == "inv":
+            return self._path_pairs_var(p[1]).select(
+                "g", F.col("o").alias("s"), F.col("s").alias("o"))
+        if kind == "alt":
+            out = None
+            for q in p[1]:
+                d = self._path_pairs_var(q)
+                out = d if out is None else out.unionByName(d)
+            return out
+        if kind == "seq":
+            out = None
+            for q in p[1]:
+                nxt = self._path_pairs_var(q)
+                if out is None:
+                    out = nxt
+                else:
+                    out = (out.alias("l").join(
+                               nxt.alias("r"),
+                               (F.col("l.g") == F.col("r.g"))
+                               & (F.col("l.o") == F.col("r.s")))
+                           .select(F.col("l.g").alias("g"),
+                                   F.col("l.s").alias("s"),
+                                   F.col("r.o").alias("o")))
+            return out
+        if kind == "opt":
+            return (self._path_pairs_var(p[1])
+                    .unionByName(self._identity_pairs_var()).distinct())
+        if kind in ("plus", "star"):
+            closure = self._transitive_closure(
+                self._path_pairs_var(p[1]), keyed=True,
+                stats=self.closure_stats)
+            if kind == "plus":
+                return closure
+            return closure.unionByName(
+                self._identity_pairs_var()).distinct()
+        if kind == "nps":
+            fwd, inv = p[1], p[2]
+            t = self._named_triples()
+            arms = []
+            if fwd:
+                arms.append(t.where(~F.col("predicate").isin(fwd))
+                            .select(F.col("graph").alias("g"),
+                                    F.col("subject").alias("s"),
+                                    F.col("object").alias("o")))
+            if inv:
+                arms.append(t.where(~F.col("predicate").isin(inv))
+                            .select(F.col("graph").alias("g"),
+                                    F.col("object").alias("s"),
+                                    F.col("subject").alias("o")))
+            out = arms[0]
+            for a in arms[1:]:
+                out = out.unionByName(a)
+            return out
+        raise ValueError(f"unsupported path element {p!r}")
 
     def _scan_path(self, pat) -> tuple[DataFrame, set[str]]:
         """Triple pattern whose predicate is a path: bind s/o against the
         evaluated pair relation.  Object literals match on lexical form
-        (datatype/lang columns don't survive path algebra)."""
+        (datatype/lang columns don't survive path algebra).  Under
+        ``GRAPH ?var`` the pair relation is graph-keyed (one plan, no
+        per-graph loop) and the graph variable binds the key column."""
         s, p, o, g = pat
-        if g is not None and g[0] == "var":
-            raise ValueError("property paths inside GRAPH ?var are not "
-                             "supported (bind the graph first)")
-        df = self._path_pairs(p, g)
+        graph_var = g is not None and g[0] == "var"
+        df = self._path_pairs_var(p) if graph_var \
+            else self._path_pairs(p, g)
         conds: list[Column] = []
         proj: dict[str, Column] = {}
 
@@ -1276,6 +1440,8 @@ class SparqlEngine:
 
         bind(s, "s")
         bind(o, "o")
+        if graph_var:
+            bind(g, "g")
         for c in conds:
             df = df.where(c)
         if proj:
@@ -1322,11 +1488,13 @@ class SparqlEngine:
                                 | F.col(colname).startswith("_:"))
                         else:
                             # subject/predicate/graph positions hold IRIs
-                            # or blank nodes, never literals
+                            # or blank nodes, never literals — the "uri"
+                            # sidecar means is-a-reference, so it is True
+                            # here unconditionally; _introspect splits
+                            # isIRI/isBLANK on the startswith("_:") check
                             meta_proj[_meta_col(name, "dt")] = null_s
                             meta_proj[_meta_col(name, "lang")] = null_s
-                            meta_proj[_meta_col(name, "uri")] = \
-                                ~F.col(colname).startswith("_:")
+                            meta_proj[_meta_col(name, "uri")] = F.lit(True)
             elif kind == "iri":
                 conds.append(F.col(colname) == term[1])
             else:                                # typed/plain literal
@@ -1359,11 +1527,19 @@ class SparqlEngine:
         if left is None:
             return right, set(rvars)
         # a variable introspected AND bound on both sides carries the
-        # same-named metadata sidecars on both: rename the right copy,
-        # coalesce after the join (left-wins — both describe terms with
-        # equal lexical form, the engine's join equality)
+        # same-named metadata sidecars on both: rename the right copy and
+        # merge after the join.  First binding wins PER ROW as a unit —
+        # the merge is gated on a left-presence flag (left var value
+        # non-null), not a per-column coalesce, because NULL is a
+        # legitimate metadata value (plain literal = NULL datatype/lang):
+        # an independent coalesce would let a right typed binding
+        # overwrite a left plain-literal's NULL datatype, or even mix
+        # dt/lang/uri from different sides for one row.
         dup = [c for c in right.columns
                if c.startswith("__m_") and c in left.columns]
+        dup_vars = sorted({c[len("__m_"):].rsplit("__", 1)[0] for c in dup})
+        for v in dup_vars:
+            left = left.withColumn("__lp_" + v, F.col(v).isNotNull())
         for c in dup:
             right = right.withColumnRenamed(c, "__r" + c)
         if not keys:
@@ -1376,16 +1552,47 @@ class SparqlEngine:
         else:
             out = left.join(right, keys, how)
         for c in dup:
+            v = c[len("__m_"):].rsplit("__", 1)[0]
             out = out.withColumn(
-                c, F.coalesce(F.col(c), F.col("__r" + c))).drop("__r" + c)
+                c, F.when(F.col("__lp_" + v), F.col(c))
+                    .otherwise(F.col("__r" + c))).drop("__r" + c)
+        if dup_vars:
+            out = out.drop(*["__lp_" + v for v in dup_vars])
         return out, lvars | rvars
+
+    def _values_compat_join(self, df, bound, vdf, names):
+        """Join a VALUES table containing UNDEF (NULL) cells with SPARQL
+        solution-compatibility semantics: for each shared variable, a row
+        pair is compatible when either side is unbound (NULL) or both
+        values are equal; the merged binding coalesces bound-side-first.
+        Variables new to the group come through as-is (NULL where
+        UNDEF)."""
+        if df is None:
+            return vdf, set(names)
+        shared = sorted(bound & set(names))
+        for n in shared:
+            vdf = vdf.withColumnRenamed(n, "__v_" + n)
+        cond = F.lit(True)
+        for n in shared:
+            cond = cond & (F.col("__v_" + n).isNull()
+                           | F.col(n).isNull()
+                           | (F.col(n) == F.col("__v_" + n)))
+        out = df.join(vdf, cond, "inner")
+        for n in shared:
+            out = out.withColumn(
+                n, F.coalesce(F.col(n), F.col("__v_" + n))
+            ).drop("__v_" + n)
+        return out, bound | set(names)
 
     def _group(self, g: Group) -> tuple[DataFrame, set[str]]:
         """Build the group left-to-right, SPARQL algebra order
         (§18.2.2.6): each element joins/extends what came before it, so
         BIND-introduced variables become join keys for later OPTIONALs
-        and patterns.  FILTERs scope to the whole group → applied last."""
+        and patterns.  FILTERs scope to the whole group → applied last.
+        UNDEF-bearing VALUES blocks are deferred (commutative join) and
+        compatibility-joined just before the filters."""
         df, bound = None, set()
+        pending_values: list = []
         for kind, payload in g.elements:
             if kind == "pattern":
                 scan, vars_ = self._scan(payload)
@@ -1397,7 +1604,17 @@ class SparqlEngine:
                 sdf = self._select(payload)
                 df, bound = self._join(df, bound, sdf, set(sdf.columns))
             elif kind == "union":
-                adfs = [self._group(a) for a in payload]
+                # arms are Groups or ("sq", parsed-select) subquery
+                # wrappers — a subquery arm compiles independently and
+                # contributes its projected columns as its variables
+                adfs = []
+                for a in payload:
+                    if isinstance(a, tuple) and a[0] == "sq":
+                        sdf = self._select(a[1])
+                        adfs.append((sdf, {c for c in sdf.columns
+                                           if not c.startswith("__")}))
+                    else:
+                        adfs.append(self._group(a))
                 uvars = set().union(*[v for _, v in adfs])
                 parts = []
                 for adf, avars in adfs:
@@ -1416,7 +1633,23 @@ class SparqlEngine:
                 # inline ground table — always tiny, broadcast the join
                 vdf = F.broadcast(self.triples.sparkSession.createDataFrame(
                     rows, ", ".join(f"{n} string" for n in names)))
-                df, bound = self._join(df, bound, vdf, set(names))
+                if any(v is None for r in rows for v in r):
+                    # UNDEF rows: SPARQL solution compatibility (§18.2) —
+                    # an unbound (NULL) side matches anything and the
+                    # merged binding takes the bound side's value.  An
+                    # equi-join would drop those rows (SQL NULL never
+                    # equals), so this block joins on an explicit
+                    # null-tolerant condition — and is DEFERRED to the
+                    # end of the group build: SPARQL Join is commutative,
+                    # and applying the wildcard table last means every
+                    # other pattern has already bound its variables
+                    # normally (a NULL cell joined in the middle would
+                    # hit the engine's equi-join deviation).  The VALUES
+                    # table is inline-tiny, so the resulting broadcast
+                    # nested-loop join is fine.
+                    pending_values.append((vdf, names))
+                else:
+                    df, bound = self._join(df, bound, vdf, set(names))
             elif kind == "optional":
                 df, bound = self._optional(df, bound, payload)
             elif kind == "minus":
@@ -1438,6 +1671,8 @@ class SparqlEngine:
                     if var in self._meta:
                         df = self._bind_meta(df, var, expr)
                 bound.add(var)
+        for vdf, names in pending_values:
+            df, bound = self._values_compat_join(df, bound, vdf, names)
         for flt in g.filters:
             if flt[0] == "exists":
                 df = self._exists_join(df, bound, flt)
@@ -1663,7 +1898,9 @@ class SparqlEngine:
                 # engine's string model); the constructed term's
                 # metadata materializes only when the surrounding
                 # BIND(... AS ?v) target is introspected (_bind_meta).
-                # IRI() does not resolve against BASE (documented).
+                # BASE applies to parsed IRI tokens (_resolve); IRI()
+                # over a computed string still treats its argument as
+                # absolute (documented narrow limitation).
                 return cargs[0]
             if name in _INTROSPECT:
                 return self._introspect(name, e[2][0], df)

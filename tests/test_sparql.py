@@ -286,8 +286,11 @@ def test_values_inline_data(eng):
                               (<urn:frame2> <urn:Edge_WordnetHyponym>) }
         ?frame kg:hasKGFrameType ?ft . }""").collect()
     assert [r["frame"] for r in rows] == ["urn:frame1"]
-    with pytest.raises(ValueError, match="UNDEF"):
-        eng.query("SELECT ?s WHERE { VALUES ?s { UNDEF } ?s ?p ?o }")
+    # UNDEF is supported since round 4 — an all-UNDEF block is a no-op
+    # wildcard join (see test_values_undef_* below)
+    n = eng.query(
+        "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s ?p ?o }").count()
+    assert n == eng.query("SELECT ?s WHERE { ?s ?p ?o }").count()
 
 
 def test_minus(eng):
@@ -393,8 +396,6 @@ def test_unsupported_constructs_raise(eng):
     with pytest.raises(ValueError, match="paths"):
         eng.query("CONSTRUCT { ?s <urn:a>/<urn:b> ?o } "
                   "WHERE { ?s <urn:a> ?o }")
-    with pytest.raises(ValueError, match="property paths"):
-        eng.query("SELECT ?s WHERE { GRAPH ?g { ?s <urn:a>+ ?o } }")
     with pytest.raises(ValueError, match="undeclared prefix"):
         eng.query("SELECT ?s WHERE { ?s kg:x ?o }")
     with pytest.raises(ValueError, match="sparql_query|form|query"):
@@ -876,3 +877,137 @@ def test_update_with_introspection_filter(spark):
 def test_reserved_variable_names_raise(eng):
     with pytest.raises(ValueError):
         eng.query("SELECT ?__x WHERE { ?__x <urn:p> ?o . }")
+
+
+def test_reserved_name_rejected_everywhere(eng):
+    """Round-4 ADVICE: the '__' guard moved to lex time, so BIND targets,
+    AS aliases and VALUES headers can no longer clobber hidden columns."""
+    for q in ("SELECT ?x WHERE { ?x <urn:p> ?o . BIND(1 AS ?__m_o__dt) }",
+              "SELECT (1 AS ?__hav) WHERE { ?x <urn:p> ?o . }",
+              "SELECT ?x WHERE { VALUES ?__v { 'a' } ?x <urn:p> ?o . }"):
+        with pytest.raises(ValueError, match="reserved"):
+            eng.query(q)
+
+
+# ------------------------- round-4 grammar closures -------------------
+
+def test_base_resolution(eng):
+    """BASE resolves relative IRI tokens (PREFIX bodies, terms,
+    datatypes) per RFC 3986; absolute IRIs pass through."""
+    q = eng.query("""BASE <http://vital.ai/ontology/>
+        PREFIX kg: <haley-ai-kg#>
+        SELECT (COUNT(?f) AS ?count) WHERE { ?f a kg:KGFrame . }""")
+    assert q.collect()[0]["count"] == 2
+    # relative term IRI in a pattern
+    q = eng.query("""BASE <urn:Edge_WordnetHyponym>
+        PREFIX kg: <http://vital.ai/ontology/haley-ai-kg#>
+        SELECT (COUNT(?f) AS ?count)
+        WHERE { ?f kg:hasKGFrameType <urn:Edge_WordnetHyponym> . }""")
+    assert q.collect()[0]["count"] == 1
+
+
+def test_base_relative_term(spark):
+    rows = [("http://ex.org/a/s1", "http://ex.org/a/p", "o1",
+             None, None, None)]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    q = eng2.query("""BASE <http://ex.org/a/>
+        SELECT ?o WHERE { <s1> <p> ?o . }""")
+    assert [r.o for r in q.collect()] == ["o1"]
+
+
+def test_values_undef_single(eng):
+    """UNDEF row = unbound → compatible with every binding."""
+    rows = eng.query(P + """SELECT ?frame ?frameType WHERE {
+        ?frame a kg:KGFrame .
+        ?frame kg:hasKGFrameType ?frameType .
+        VALUES ?frameType { <urn:Edge_WordnetHyponym> } }""").collect()
+    assert len(rows) == 1
+    rows = eng.query(P + """SELECT ?frame ?frameType WHERE {
+        ?frame a kg:KGFrame .
+        ?frame kg:hasKGFrameType ?frameType .
+        VALUES ?frameType { UNDEF } }""").collect()
+    assert len(rows) == 2          # wildcard row keeps both frames
+
+
+def test_values_undef_multi_column(eng):
+    """Per-row wildcard in the two-column form; merged bindings take the
+    bound side."""
+    rows = eng.query(P + """SELECT ?frame ?frameType WHERE {
+        ?frame a kg:KGFrame .
+        ?frame kg:hasKGFrameType ?frameType .
+        VALUES (?frame ?frameType) {
+            (<urn:frame1> UNDEF)
+            (UNDEF <urn:Edge_Other>) } }""").collect()
+    got = sorted((r.frame, r.frameType) for r in rows)
+    assert got == [("urn:frame1", "urn:Edge_WordnetHyponym"),
+                   ("urn:frame2", "urn:Edge_Other")]
+
+
+def test_values_undef_fresh_var(eng):
+    """An UNDEF cell for a variable new to the group stays NULL."""
+    rows = eng.query(P + """SELECT ?frame ?tag WHERE {
+        ?frame a kg:KGFrame .
+        VALUES (?frame ?tag) {
+            (<urn:frame1> 'one')
+            (<urn:frame2> UNDEF) } }""").collect()
+    got = sorted((r.frame, r.tag) for r in rows)
+    assert got == [("urn:frame1", "one"), ("urn:frame2", None)]
+
+
+def test_graph_var_path(eng):
+    """Property path under GRAPH ?var: pairs close per named graph and
+    the graph variable binds alongside."""
+    rows = eng.query(P + """SELECT ?g ?f ?v WHERE {
+        GRAPH ?g { ?f kg:hasKGFrameType/^kg:hasKGFrameType ?v . } }"""
+                     ).collect()
+    # identity pairs via the forward/backward hop, graph-tagged
+    assert all(r.g == "g" for r in rows)
+    assert {(r.f, r.v) for r in rows} == {
+        ("urn:frame1", "urn:frame1"), ("urn:frame2", "urn:frame2")}
+    # transitive + under GRAPH ?var, restricted per graph
+    rows = eng.query(P + """SELECT ?g (COUNT(*) AS ?n) WHERE {
+        GRAPH ?g { ?s <urn:hasSourceEntity>+ ?o . } } GROUP BY ?g"""
+                     ).collect()
+    assert rows == []  # predicate absent → empty, but compiles and runs
+
+
+def test_graph_var_path_closure(spark):
+    """+ closure under GRAPH ?var must NOT leak across graphs."""
+    rows = [("a", "urn:n", "b", None, None, "g1"),
+            ("b", "urn:n", "c", None, None, "g2")]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    got = sorted((r.g, r.s, r.o) for r in eng2.query(
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <urn:n>+ ?o . } }"
+    ).collect())
+    # no (a, c) pair: the hop a→b lives in g1, b→c in g2
+    assert got == [("g1", "a", "b"), ("g2", "b", "c")]
+
+
+def test_union_of_subquery(eng):
+    """UNION arms may be subquery blocks (either or both sides)."""
+    rows = eng.query(P + """SELECT ?frame WHERE {
+        { SELECT ?frame WHERE { ?frame a kg:KGFrame . } }
+        UNION
+        { ?frame a kg:KGEntitySlot . } }""").collect()
+    assert len(rows) == 6          # 2 frames + 4 slots
+    rows = eng.query(P + """SELECT ?frame ?n WHERE {
+        { SELECT ?frame (COUNT(*) AS ?n) WHERE {
+            ?frame a kg:KGFrame . } GROUP BY ?frame }
+        UNION
+        { SELECT ?frame (COUNT(*) AS ?n) WHERE {
+            ?frame a kg:KGEntitySlot . } GROUP BY ?frame } }""").collect()
+    assert len(rows) == 6 and all(r.n == 1 for r in rows)
+
+
+def test_blank_node_subject_introspection(spark):
+    """ADVICE r3 (medium): blank-node subjects must introspect as
+    isBLANK, not isLITERAL."""
+    rows = [("_:b1", "urn:p", "x", None, None, None),
+            ("urn:s", "urn:p", "y", None, None, None)]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    got = {(r.s, r.blank, r.iri, r.lit) for r in eng2.query(
+        """SELECT ?s (isBLANK(?s) AS ?blank) (isIRI(?s) AS ?iri)
+                  (isLITERAL(?s) AS ?lit)
+           WHERE { ?s <urn:p> ?o . }""").collect()}
+    assert got == {("_:b1", True, False, False),
+                   ("urn:s", False, True, False)}
