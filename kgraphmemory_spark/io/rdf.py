@@ -159,8 +159,37 @@ def parse_lines(lines: DataFrame, default_graph: str | None = None,
 def load_ntriples(spark, path: str, default_graph: str | None = None) -> DataFrame:
     """Distributed N-Triples/N-Quads file load (S11/S12): `spark.read.text`
     is already chunked + parallel; per-partition row counts (lineage) replace
-    the reference's progress callback (kgraph_rdf_db.py:387-471)."""
-    return parse_lines(spark.read.text(path), default_graph=default_graph)
+    the reference's progress callback (kgraph_rdf_db.py:387-471).
+
+    Multi-file loads scope blank-node labels per file — pyoxigraph
+    parity (the reference's loader scopes bnodes per parse call,
+    kgraph_rdf_db.py:410-427): each ``_:label`` gains a deterministic
+    ``--f<8-hex>`` suffix (sha-256 of the file path) so two files that
+    both use ``_:b1`` stay distinct.  Single-file loads keep labels
+    verbatim (exact round-trips).  The suffix is a pure JVM expression
+    over ``input_file_name()`` — still codegen'd, still splittable."""
+    lines = spark.read.text(path)
+    parsed = parse_lines(lines, default_graph=default_graph)
+    if len(lines.inputFiles()) <= 1:
+        return parsed
+    suf = F.concat(F.lit("--f"),
+                   F.substring(F.sha2(F.input_file_name(), 256), 1, 8))
+
+    def bn(name: str) -> Column:
+        c = F.col(name)
+        return F.when(c.startswith("_:"), F.concat(c, suf)).otherwise(c)
+
+    return parsed.select(
+        bn("subject").alias("subject"),
+        F.col("predicate"),
+        F.when(F.col("object").startswith("_:")
+               & F.col("obj_datatype").isNull()
+               & F.col("obj_lang").isNull(),
+               F.concat(F.col("object"), suf))
+         .otherwise(F.col("object")).alias("object"),
+        "obj_datatype", "obj_lang",
+        bn("graph").alias("graph"),
+    )
 
 
 def write_ntriples(triples: DataFrame, path: str, fmt: str = "ntriples") -> None:

@@ -27,10 +27,13 @@ published Turtle:
   block is optional, per the TriG grammar.  Triples outside any block go
   to ``default_graph`` exactly like plain Turtle.
 
-Blank-node labels are kept verbatim and are therefore *document*-scoped,
-same as the N-Triples path (io/rdf.py parse_lines): loading two files
-that both use ``_:b1`` merges those nodes.  Callers that need file-scoped
-bnodes should rewrite labels after load (they carry the ``_:`` prefix).
+Blank-node labels are FILE-scoped on multi-file loads (pyoxigraph
+parity — the reference's loader scopes bnodes per parse call,
+kgraph_rdf_db.py:410-427): when the glob resolves to more than one
+file, every ``_:label`` is suffixed with ``--f<8-hex>`` (sha-256 of the
+file path, deterministic), so two files both using ``_:b1`` stay
+distinct.  A single-file load keeps labels verbatim, preserving exact
+round-trips.
 
 Scale shape: Turtle is not line-splittable, so parallelism is ONE TASK
 PER FILE — `spark.read.text(wholetext)` distributes the file list and
@@ -420,20 +423,52 @@ _SCHEMA = ("subject string, predicate string, object string, "
            "obj_datatype string, obj_lang string, graph string")
 
 
+def _scope_rows(rows: list[tuple], suffix: str) -> list[tuple]:
+    """Suffix every blank-node label with the per-file scope tag.
+    Bnodes can sit in subject, object (when not a literal — the parsed
+    tuple carries NULL datatype AND lang for reference objects) and
+    graph position; predicates never."""
+    out = []
+    for s, p, o, dt, lang, g in rows:
+        if s.startswith("_:"):
+            s += suffix
+        if o.startswith("_:") and dt is None and lang is None:
+            o += suffix
+        if g is not None and g.startswith("_:"):
+            g += suffix
+        out.append((s, p, o, dt, lang, g))
+    return out
+
+
 def _wholefile_loader(spark: SparkSession, path: str, parse_fn,
                       default_graph: str | None) -> DataFrame:
     """Shared plan for non-splittable RDF formats (turtle/trig/json-ld/
     rdf-xml): one task per file (wholetext scan) — a many-file corpus
     parallelizes across files — with an Arrow-batched mapInPandas parse;
     output schema identical to io.rdf.parse_lines so every downstream
-    store operator applies."""
+    store operator applies.
+
+    Multi-file loads scope blank-node labels per file (see module
+    docstring); the decision reads only the file LISTING
+    (``inputFiles``), not the data."""
     files = spark.read.format("text").option("wholetext", "true").load(path)
+    scoped = len(files.inputFiles()) > 1
+    if scoped:
+        from pyspark.sql import functions as F
+        files = files.select("value", F.input_file_name().alias("__file"))
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         for pdf in batches:
             rows: list[tuple] = []
-            for text in pdf["value"]:
-                rows.extend(parse_fn(text, default_graph))
+            for i, text in enumerate(pdf["value"]):
+                parsed = parse_fn(text, default_graph)
+                if scoped:
+                    fp = pdf["__file"].iloc[i]
+                    suf = ("--f" + hashlib.sha256(
+                        fp.encode()).hexdigest()[:8])
+                    parsed = _scope_rows(parsed, suf)
+                rows.extend(parsed)
             yield pd.DataFrame(rows, columns=_COLS)
 
     return files.mapInPandas(_parse, schema=_SCHEMA)

@@ -495,3 +495,38 @@ def test_jsonld_reverse_only_term_misuse_raises():
         parse_jsonld_text(
             '{"@context": {"p": {"@reverse": "http://x/rel"}}, '
             '"@id": "http://y/a", "@type": "p"}')
+
+
+def test_file_scoped_blank_nodes(spark, tmp_path):
+    """r3 VERDICT item 5: two files both using _:b1 must NOT merge those
+    nodes on a multi-file load (pyoxigraph scopes bnodes per parse call,
+    kgraph_rdf_db.py:410-427); a single-file load keeps labels verbatim."""
+    from kgraphmemory_spark.io.rdf import load_ntriples
+    from kgraphmemory_spark.io.turtle import load_turtle
+    # -- N-Triples ----------------------------------------------------
+    d = tmp_path / "nt"
+    d.mkdir()
+    (d / "a.nt").write_text('_:b1 <http://p> "from-a" .\n')
+    (d / "b.nt").write_text('_:b1 <http://p> "from-b" .\n')
+    rows = load_ntriples(spark, str(d)).collect()
+    subs = {r.subject for r in rows}
+    assert len(subs) == 2 and all(s.startswith("_:b1--f") for s in subs)
+    # single file: verbatim
+    one = load_ntriples(spark, str(d / "a.nt")).collect()
+    assert [r.subject for r in one] == ["_:b1"]
+    # -- Turtle (covers the shared wholefile loader: trig/jsonld/rdfxml)
+    t = tmp_path / "ttl"
+    t.mkdir()
+    (t / "a.ttl").write_text(
+        '@prefix ex: <http://e/> .\n_:b1 ex:p "A" ; ex:friend _:b2 .\n')
+    (t / "b.ttl").write_text(
+        '@prefix ex: <http://e/> .\n_:b1 ex:p "B" .\n')
+    rows = load_turtle(spark, str(t)).collect()
+    subs = {r.subject for r in rows if r.object in ("A", "B")}
+    assert len(subs) == 2
+    # intra-file bnode links stay consistent: _:b1's friend object carries
+    # the SAME suffix as its subject
+    friend = [r for r in rows if r.predicate == "http://e/friend"][0]
+    assert friend.subject.split("--f")[1] == friend.object.split("--f")[1]
+    one = load_turtle(spark, str(t / "a.ttl")).collect()
+    assert {r.subject for r in one} == {"_:b1"}
