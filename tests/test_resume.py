@@ -77,3 +77,56 @@ def test_lineage_rows_written(spark, workdir):
     assert "score_histogram" in lin.columns
     man = json.load(open(os.path.join(workdir, "linked", "_MANIFEST.json")))
     assert man["rows"] > 0 and man["schema"]
+
+
+def test_snapshot_backend_recorded(spark, tmp_path):
+    """Round 4 (SURVEY §7.1): the manifest records which backend holds
+    the stage data.  This sandbox ships no Iceberg jars, so detection
+    must return False and commits must take (and record) the
+    parquet+manifest path; with jars + a configured catalog the same
+    interface commits Iceberg snapshots (skip-gated below)."""
+    from kgraphmemory_spark.io.snapshots import (
+        SnapshotCatalog,
+        _iceberg_catalog,
+        iceberg_available,
+    )
+    assert iceberg_available(spark) is False
+    assert _iceberg_catalog(spark) is None
+    cat = SnapshotCatalog(str(tmp_path / "snap"))
+    out = cat.stage(spark, "s1",
+                    lambda: spark.range(3).selectExpr("id", "id*2 AS v"))
+    assert out.count() == 3
+    man = cat.manifest("s1")
+    assert man["backend"] == "parquet+manifest"
+    assert "table" not in man
+    # catalog configured but no jars → still the parquet fallback (the
+    # opt-in alone must not redirect data the cluster cannot read)
+    spark.conf.set("spark.kgm.iceberg.catalog", "icecat")
+    try:
+        assert _iceberg_catalog(spark) is None
+    finally:
+        spark.conf.unset("spark.kgm.iceberg.catalog")
+
+
+def test_snapshot_iceberg_commit(spark, tmp_path):
+    """Real Iceberg snapshot commit — runs only on a cluster whose
+    classpath carries the Iceberg Spark runtime AND a configured
+    catalog."""
+    import pytest as _pytest
+
+    from kgraphmemory_spark.io.snapshots import (
+        SnapshotCatalog,
+        _iceberg_catalog,
+    )
+    spark.conf.set("spark.kgm.iceberg.catalog", "icecat")
+    try:
+        if _iceberg_catalog(spark) is None:
+            _pytest.skip("no Iceberg runtime on the classpath")
+        cat = SnapshotCatalog(str(tmp_path / "snap_ice"))
+        out = cat.stage(spark, "s1", lambda: spark.range(3))
+        assert out.count() == 3
+        assert cat.manifest("s1")["backend"] == "iceberg"
+        # resume path reads the table back through the manifest
+        assert cat.read(spark, "s1").count() == 3
+    finally:
+        spark.conf.unset("spark.kgm.iceberg.catalog")
