@@ -150,6 +150,36 @@ def synthetic_cc_edges(spark: SparkSession, chain_rows: int,
     return edges
 
 
+def synthetic_hierarchy_triples(spark: SparkSession, trees: int = 9000,
+                                k: int = 10, depth: int = 3,
+                                partitions: int = 32) -> DataFrame:
+    """Synthetic hierarchy for the SPARQL ``+``-path closure bench
+    (VERDICT r3 item 6): a forest of ``trees`` perfect ``k``-ary trees of
+    ``depth`` levels, emitted as (subject, predicate, object) triples
+    parent --urn:child--> child, generated fully distributed
+    (spark.range → expressions).  Closed forms:
+
+    - nodes/tree  = Σ_{l=0..depth} k^l;  edges = trees × (nodes/tree − 1)
+      (defaults: 1111 nodes/tree → 9,999,000 edges ≈ 10M);
+    - closure pairs = trees × Σ_{l=1..depth} l·k^l (ancestor count per
+      node = its level) — defaults 28,890,000;
+    - frontier-expansion rounds = depth (round r yields length-(r+1)
+      paths; the final empty round lands at r = depth)."""
+    npt = sum(k ** level for level in range(depth + 1))
+    ids = spark.range(0, trees * npt, 1, partitions)
+    tree = F.floor(F.col("id") / npt).cast("long")
+    idx = (F.col("id") % npt).cast("long")
+    parent = F.floor((idx - 1) / k).cast("long")
+    return (
+        ids.where(idx >= 1)
+        .select(
+            F.format_string("n%06d_%06d", tree, parent).alias("subject"),
+            F.lit("urn:child").alias("predicate"),
+            F.format_string("n%06d_%06d", tree, idx).alias("object"),
+        )
+    )
+
+
 def synthetic_alias_and_mentions(
         spark: SparkSession, alias_rows: int, mention_rows: int,
         head_keys: int = 64, head_share: int = 3, salt_mod: int = 10,
