@@ -495,3 +495,96 @@ def test_sparql_aggregate_differential(spark, seed):
             ok = set(got) == want and len(got) == len(want)
         assert ok, (f"divergence (seed={seed}, query #{i}):\n{text}\n"
                     f"want={want}\ngot={got}")
+
+
+# ---------------- round-4 grammar closures: directed differentials -----
+# Seeded random DATA × fixed query shapes for the four features closed in
+# round 4 (BASE, UNDEF in VALUES, property paths under GRAPH ?var, UNION
+# with subquery arms), each checked against an independent naive
+# evaluation written straight from the algebra.
+
+def _closure_pairs(rows, pred):
+    """Per-graph transitive closure of `pred` edges computed naively
+    (BFS per node) → {(g, s, o)}."""
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for s, p, o, dt, lang, g in rows:
+        if p == pred:
+            adj[(g, s)].add(o)
+    out = set()
+    for (g, s) in list(adj):
+        seen, frontier = set(), {s}
+        while frontier:
+            nxt = set()
+            for n in frontier:
+                for m in adj.get((g, n), ()):
+                    if m not in seen:
+                        seen.add(m)
+                        nxt.add(m)
+            frontier = nxt
+        out |= {(g, s, o) for o in seen}
+    return out
+
+
+@pytest.mark.parametrize("seed", [13, 29, 61])
+def test_differential_round4_features(spark, seed):
+    rng = random.Random(seed)
+    rows = _data(rng)
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+
+    # --- BASE: relative IRIs must equal the absolute-IRI twin ---------
+    rel = eng.query("""BASE <urn:p0>
+        SELECT ?s ?o WHERE { ?s <urn:p0> ?o }""").collect()
+    # (urn: IRIs are absolute; exercise resolution against an http base)
+    http_rows = [("http://ex.org/d/" + s[4:], "http://ex.org/d/" + p[4:],
+                  o, dt, lg, g) for s, p, o, dt, lg, g in rows]
+    eng_http = SparqlEngine(spark.createDataFrame(http_rows, SCHEMA))
+    got = Counter((r.s, r.o) for r in eng_http.query(
+        """BASE <http://ex.org/d/>
+           SELECT ?s ?o WHERE { ?s <p1> ?o }""").collect())
+    want = Counter((r.s, r.o) for r in eng_http.query(
+        """SELECT ?s ?o WHERE { ?s <http://ex.org/d/p1> ?o }""").collect())
+    assert got == want
+    assert rel == eng.query(
+        "SELECT ?s ?o WHERE { ?s <urn:p0> ?o }").collect()
+
+    # --- UNDEF in VALUES: solution-compatibility join -----------------
+    vals = [(rng.choice(SUBJECTS), rng.choice(LITS + IRIS)),
+            (rng.choice(SUBJECTS), None),
+            (None, rng.choice(LITS + IRIS))]
+    rows_txt = " ".join(
+        "({} {})".format(
+            f"<{a}>" if a else "UNDEF",
+            f"'{b}'" if b and not re.match(r"^[A-Za-z][\w+.-]*:", b)
+            else (f"<{b}>" if b else "UNDEF"))
+        for a, b in vals)
+    got = Counter((r.s, r.o) for r in eng.query(f"""
+        SELECT ?s ?o WHERE {{
+          ?s <urn:p1> ?o .
+          VALUES (?s ?o) {{ {rows_txt} }} }}""").collect())
+    naive = Counter()
+    for mu in _eval_bgp([(("var", "s"), ("iri", "urn:p1"),
+                          ("var", "o"))], rows):
+        for a, b in vals:
+            if (a is None or mu["s"] == a) and (b is None or mu["o"] == b):
+                naive[(mu["s"], mu["o"])] += 1
+    assert got == naive
+
+    # --- property path + under GRAPH ?var -----------------------------
+    got = {(r.g, r.s, r.o) for r in eng.query(
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <urn:p2>+ ?o } }"
+    ).collect()}
+    assert got == _closure_pairs(rows, "urn:p2")
+
+    # --- UNION with a subquery arm ------------------------------------
+    got = Counter((r.s, r.o) for r in eng.query("""
+        SELECT ?s ?o WHERE {
+          { SELECT ?s ?o WHERE { ?s <urn:p1> ?o } }
+          UNION
+          { ?s <urn:p2> ?o } }""").collect())
+    naive = Counter()
+    for pred in ("urn:p1", "urn:p2"):
+        for mu in _eval_bgp([(("var", "s"), ("iri", pred),
+                              ("var", "o"))], rows):
+            naive[(mu["s"], mu["o"])] += 1
+    assert got == naive
