@@ -459,9 +459,21 @@ class BusySampler:
 # A real N→4N resize never changes the input splits; 8MB splits give
 # both configs the same 64 well-balanced tasks (A/B: local[4] 328 s
 # unpinned → 280 s pinned, local[16] unchanged).
+# Heap is PINNED at 96g for BOTH configs (round-4 fix).  At 12M pages
+# the 48g default put the 16-thread child on a memory cliff: 16
+# concurrent tasks' execution memory evicted the cached canonical/rank
+# tables mid-rep and re-derived them inside the measured window
+# (~122 s), while the 4-thread child — needing a quarter of the
+# execution memory — kept its cache (A/B on an idle box, 12M pages:
+# local[16] 48g ~122 s -> 96g 82.0/88.4 s; local[4] 96g 350.3/335.0 s).
+# Equal TOTAL memory is the conservative choice for the N->4N proxy: a
+# real 4x resize scales aggregate memory 4x, so the small config here
+# enjoys 4x the per-core memory a real quarter-cluster would have,
+# biasing the measured efficiency DOWN, never up.
 spark = get_spark(app="kgm-scale", cores={cores}, shuffle_partitions={2 * cores},
                   extra={{"spark.sql.files.maxPartitionBytes":
-                          str(8 * 1024 * 1024)}})
+                          str(8 * 1024 * 1024),
+                          "spark.driver.memory": "96g"}})
 warm = generate_pages_distributed(spark, 50000, seed=7, partitions=16)
 kgw = run_pipeline(spark, warm, link_strategy="salted")
 kgw.relations.count(); kgw.entities.count(); kgw.triples.count()
