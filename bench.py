@@ -79,10 +79,38 @@ import os
 import subprocess
 import sys
 import time
+import traceback
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_LABEL = SF_DIR.rstrip("/").split("/")[-1]
+
+
+def _shutdown_jvm() -> None:
+    """Kill the py4j gateway JVM outright.  ``spark.stop()`` ends the
+    SparkContext but the gateway JVM stays alive — holding its full heap
+    RSS — until this python process exits.  Round 4's first heap-pinned
+    scaling run was OOM-killed because of exactly this: the headline
+    local[32] JVM kept ~51 GB resident through the whole scaling phase,
+    and 51 GB (idle parent) + 70 GB (local[16] child at 12M pages) blew
+    the 125 GB box.  The children are separate processes; the parent
+    needs NO JVM while they run."""
+    from pyspark import SparkContext
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+        proc = getattr(gw, "proc", None)
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=10)
+            except Exception:
+                pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
 
 
 def _headline(spark) -> tuple[dict, dict]:
@@ -337,6 +365,7 @@ def _write_scale_corpus(pages: int) -> str:
     generate_pages_distributed(spark, pages, seed=42, partitions=64) \
         .write.mode("overwrite").parquet(out)
     spark.stop()
+    _shutdown_jvm()   # don't let the corpus-writer JVM shadow the children
     return out
 
 
@@ -574,6 +603,7 @@ def main() -> None:
     times, extra = _headline(spark)
     total = round(time.time() - t0, 3)
     spark.stop()
+    _shutdown_jvm()   # free the headline JVM's RSS before the 96g children
 
     # value keeps its round-1 meaning — the full headline session wall
     # (now inclusive of the deliberate second pipeline rep and the ANN
@@ -590,7 +620,12 @@ def main() -> None:
         "throughput": extra,
     }
 
+    # The scaling section must NEVER take the headline down with it: a
+    # crashed child (e.g. the r4 OOM before _shutdown_jvm existed) used
+    # to abort the whole bench, so the driver recorded NOTHING for the
+    # round.  Any failure now lands as scaling.error in the same JSON.
     if not no_scaling:
+      try:
         cpu = _cpu_scaling_probe()
         # Interleave (local4, local16) PAIRS instead of running all reps
         # of one config back-to-back: the sandbox host's external load
@@ -655,6 +690,14 @@ def main() -> None:
                        "external host load contended the small config's best "
                        "rep (see local4_reps loadavg)" if eff > 1.0 else ""),
         }
+      except Exception as exc:
+        result["scaling"] = {
+            "error": f"{type(exc).__name__}: {exc}"[-800:],
+            "pages": scaling_pages,
+            "note": "scaling section failed; headline/query numbers above "
+                    "are unaffected — see stderr for the traceback",
+        }
+        traceback.print_exc()
 
     # -- output (round-4 fix for BENCH_r03 "parsed": null) ---------------
     # The driver captures a bounded TAIL of stdout and parses the LAST
