@@ -730,7 +730,11 @@ def main() -> None:
                         "cc_components_expected", "path_closure_rounds")
                        if k in extra},
     }
-    if "scaling" in result:
+    if "scaling" in result and "error" in result["scaling"]:
+        # failed scaling section: surface the error in the headline but
+        # never let its missing keys crash the final-line print below
+        headline["scaling"] = dict(result["scaling"])
+    elif "scaling" in result:
         s = result["scaling"]
         headline["scaling"] = {
             "pages": s["pages"],
