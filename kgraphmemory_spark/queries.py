@@ -679,6 +679,45 @@ def q_f11(spark, sf):
     )
 
 
+@register("f_census_builtins", """
+  SELECT doc_id,
+         contains(text, 'hash join') AS has_hash_join,
+         CAST(length(text) AS INT) AS text_len,
+         contains(lower(text), 'vector') AS has_vector_lc,
+         string_split(source, 'c')[-1] AS src_num,
+         regexp_replace(source, '[^0-9]', '', 'g') AS src_digits,
+         substr(text, 1, 40) AS snippet
+  FROM documents
+  WHERE lang IN ('en', 'de') AND doc_id < 400
+""")
+def q_f_census(spark, sf):
+    """Builtin census: ONE plan exercising the string/filter builtins that
+    otherwise only have per-op mirror rows — P2 CONTAINS
+    (test_kgentity_memory.py:218-249), P4 LCASE+STRLEN
+    (docs/sparql-examples.md:47,83), P8 IN-list (kgraph_chat_bridge.py:
+    245,271), F2 localname via substring_index
+    (kgraph_bridge_utilities.py:422-426), F3 regexp cleanup
+    (kgraph_bridge_utilities.py:346-348), F11 snippet
+    (kgraph_document_bridge.py:321).  All single-pass projections /
+    pushed-down filters over one scan — no shuffle; each builtin stays
+    JVM-side in whole-stage codegen.  Certified-window member: one slot
+    driver-certifies six §2 families (the per-op twins p2/p4/p8/f2/f3/f11
+    remain below the fold for isolation)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.where(F.col("lang").isin("en", "de") & (F.col("doc_id") < 400))
+        .select(
+            "doc_id",
+            F.col("text").contains("hash join").alias("has_hash_join"),
+            F.length("text").alias("text_len"),
+            F.lower(F.col("text")).contains("vector").alias("has_vector_lc"),
+            F.substring_index("source", "c", -1).alias("src_num"),
+            F.regexp_replace("source", "[^0-9]", "").alias("src_digits"),
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+    )
+
+
 # ===================== similarity / vector search ==========================
 
 @register("v1_cosine_topk", """
@@ -2282,11 +2321,16 @@ _CERTIFIED_WINDOW = [
     # store CRUD (S1-S18)
     "s1_object_roundtrip", "s4_remove_cascade", "s9_nt_roundtrip",
     "s17_vector_crud",
-    # chat / interaction family
-    "c1_interaction_messages", "c2_recent_interactions",
+    # chat / interaction family (c1 rotates below the fold round 4: the
+    # chat facade held three slots while c2 certifies the W4 recency
+    # window and c3 the U2 merged re-rank — c1's ordered-traversal shape
+    # is subsumed by c2's window; its slot goes to f_census_builtins,
+    # which driver-certifies SIX previously mirror-only §2 families
+    # (P2/P4/P8/F2/F3/F11) in one plan)
+    "c2_recent_interactions",
     "c3_merged_search_rerank",
-    # filter patterns
-    "p5_ts_range", "p10_bind_if_exists",
+    # filter patterns + the string-builtin census
+    "p5_ts_range", "p10_bind_if_exists", "f_census_builtins",
     # joins (incl. the salted skew path and the multigraph union)
     "j2_frame_slots", "sparql_frame_construct", "j6_semi_exists",
     "j7_anti_not_exists", "j11_salted_linking", "x1_multigraph_stats",
