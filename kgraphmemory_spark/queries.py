@@ -1065,6 +1065,50 @@ def q_t4(spark, sf):
     return d.select("doc_id", TX.fingerprint_hex(F.col("text")).alias("fp_hex"))
 
 
+@register("t_census_text", """
+  SELECT doc_id,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         CAST(n_chr AS BIGINT) AS n_chars_measured,
+         round((
+             (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN 1.0*n_chr/greatest(n_tok,1) BETWEEN 2.0 AND 12.0
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN 1.0*(n_chr - n_nopunct)/greatest(n_chr,1) <= 0.2
+                   THEN 1.0 ELSE 0.0 END)
+         ) / 3.0, 4) AS quality,
+         CASE WHEN 1.0 * hits / greatest(n_tok, 1) >= 0.05
+              THEN 'en' ELSE 'unknown' END AS lang_guess,
+         substr(md5(lower(trim(text))), 1, 16) AS fp_hex
+  FROM (
+    SELECT doc_id, text,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+           length(text) AS n_chr,
+           length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+             AS n_nopunct,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> lower(x) IN ('the','a','an','and','or','of','to','in',
+                                 'is','it'))) AS hits
+    FROM documents WHERE length(trim(text)) > 0)
+""")
+def q_t_census(spark, sf):
+    """Text-analysis census: ONE documents scan computing all four
+    per-document text signals — t1 token/char counts, t2 quality score,
+    t3 stopword-ratio language guess, t4 md5-hex fingerprint — as pure
+    built-in projections (no shuffle, one WholeStageCodegen span).
+    Certified-window member: one slot driver-certifies the whole t1–t4
+    signal family alongside t5's composed filter (the per-op rows stay
+    below the fold for isolation)."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars_measured"),
+        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+        TX.lang_guess(F.col("text")).alias("lang_guess"),
+        TX.fingerprint_hex(F.col("text")).alias("fp_hex"),
+    )
+
+
 @register("j2_frame_slots", f"""
   WITH rels AS ({SQL_RELATIONS}), ents AS ({SQL_ENTITIES})
   SELECT 'frame:' || substr(sha256(subj || '|' || pred || '|' || obj), 1, 24)
@@ -2345,8 +2389,10 @@ _CERTIFIED_WINDOW = [
     "v2_knn_filtered", "v4_lsh_ann",
     # dedup: exact, end-to-end LSH classes, simhash
     "d1_exact_dedup", "d6_lsh_dedup_classes", "d4_simhash",
-    # text analysis + the composed corpus filter
-    "t3_lang_stopword", "t5_corpus_filter",
+    # text analysis: the t1–t4 signal census (round 4 — one slot
+    # certifies token/char counts, quality, lang guess and fingerprint;
+    # t3's solo row rotates below the fold) + the composed corpus filter
+    "t_census_text", "t5_corpus_filter",
     # multimodal plumbing
     "m1_media_decode",
     # typed-literal object round-trip
