@@ -620,6 +620,18 @@ def main() -> None:
         "throughput": extra,
     }
 
+    # Crash insurance: the scaling section below runs 30-60+ min of child
+    # JVMs.  If the whole bench process is killed mid-scaling (external
+    # timeout, OOM killer), stdout would otherwise end on child chatter
+    # and the driver's last-line parse records nothing — so print a
+    # complete, valid compact headline NOW (scaling marked pending).  On
+    # a normal run the true final line below supersedes it.
+    early = _compact_headline(result, extra)
+    early["scaling"] = {"status": "pending — this line is the last one "
+                        "only if the run was killed mid-scaling; detail "
+                        "in BENCH_DETAIL.json"}
+    print(json.dumps(early), flush=True)
+
     # The scaling section must NEVER take the headline down with it: a
     # crashed child (e.g. the r4 OOM before _shutdown_jvm existed) used
     # to abort the whole bench, so the driver recorded NOTHING for the
@@ -716,20 +728,7 @@ def main() -> None:
         pass
     print("DETAIL " + json.dumps(result))
 
-    headline = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "queries": result["queries"],
-        "sf": result["sf"],
-        "cpus": result["cpus"],
-        "throughput": {k: extra[k] for k in
-                       ("docs_per_sec", "triples_per_sec",
-                        "pipeline_cold_sec", "pipeline_raw_triples",
-                        "queries_sum_sec", "cc_rounds", "cc_components",
-                        "cc_components_expected", "path_closure_rounds")
-                       if k in extra},
-    }
+    headline = _compact_headline(result, extra)
     if "scaling" in result and "error" in result["scaling"]:
         # failed scaling section: surface the error in the headline but
         # never let its missing keys crash the final-line print below
@@ -751,6 +750,24 @@ def main() -> None:
                       "and the earlier DETAIL stdout line",
         }
     print(json.dumps(headline))
+
+
+def _compact_headline(result: dict, extra: dict) -> dict:
+    """Rep-free headline object sized for the driver's last-line parse."""
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "throughput": {k: extra[k] for k in
+                       ("docs_per_sec", "triples_per_sec",
+                        "pipeline_cold_sec", "pipeline_raw_triples",
+                        "queries_sum_sec", "cc_rounds", "cc_components",
+                        "cc_components_expected", "path_closure_rounds")
+                       if k in extra},
+    }
 
 
 if __name__ == "__main__":
