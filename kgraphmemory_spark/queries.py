@@ -447,6 +447,43 @@ def q_j7(spark, sf):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+@register("ja_census_linked", """
+  SELECT n.n_name,
+         CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments,
+         CAST(count(o.o_orderstatus) AS BIGINT) AS n_status_links
+  FROM nation n
+  LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN (SELECT DISTINCT o_custkey, o_orderstatus FROM orders) o
+         ON o.o_custkey = c.c_custkey
+  GROUP BY n.n_name
+""")
+def q_ja_census(spark, sf):
+    """Join/agg census: ONE per-entity rollup exercising the four
+    join/agg families that otherwise only have per-op mirror rows — J5
+    OPTIONAL / left outer (kgraph_frame_bridge.py:300-319; nations with
+    no customers survive with zero counts), J1 1-hop edge traversal
+    (kgraph_bridge_utilities.py:304-352; customer→orders), A6 SELECT
+    DISTINCT (kgraph_frame_bridge.py:532; the order-status projection is
+    deduped BEFORE the join so a hub customer's 10^6 orders collapse to
+    ≤3 status rows — the same explode-avoidance as linking's alias
+    dedup), and A4 COUNT(DISTINCT) (wordnet_batch_load_test.py:239-249).
+    Scale shape: the big join shuffles on custkey (both sides large);
+    the 25-row nation dim is AQE-broadcast; count-distinct is a two-pass
+    hash agg.  Certified-window member — the per-op twins
+    j1/j5/a4/a6 remain below the fold for isolation."""
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    o = (load(spark, sf, "orders")
+         .select("o_custkey", "o_orderstatus").distinct())
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(F.countDistinct("c_mktsegment").alias("n_segments"),
+             F.count("o_orderstatus").alias("n_status_links"))
+    )
+
+
 @register("j3_multiway_topk", """
   SELECT c.c_custkey, o.o_orderkey,
          round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -1241,6 +1278,51 @@ def q_s8(spark, sf):
     return out.groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register("s_census_store", f"""
+  WITH store AS (
+    SELECT * FROM ({SQL_TRIPLES_LONG})
+    WHERE predicate != 'http://vital.ai/ontology/vital-core#hasName'
+    UNION ALL
+    SELECT 'ent:zzz' AS subject, 'urn:prop:inserted' AS predicate,
+           '1' AS object, 'urn:graph:web' AS graph
+  )
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n
+  FROM store
+  WHERE predicate IN ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                      'http://vital.ai/ontology/vital-core#hasName',
+                      'urn:prop:inserted')
+  GROUP BY predicate
+""")
+def q_s_census(spark, sf):
+    """Store-CRUD census: ONE row driver-certifying the update/scan
+    families that otherwise only have mirror rows.  apply_update
+    (S8 SPARQL-UPDATE analog, kgraph_rdf_db.py:342-357; S3
+    update_object is the same delete+insert primitive,
+    operators/store.py:232) rewrites the store — pattern-delete every
+    hasName triple, insert one ground triple — then THREE get_triples
+    bound-predicate pattern scans (S7/P1, kgraph_rdf_db.py:128-162;
+    each a pushed-down equality on the scan) census the updated store:
+    rdf:type must survive untouched, hasName must come back EMPTY (its
+    absence from the result is the delete's witness — a failed delete
+    adds a row the oracle doesn't have), and the inserted predicate
+    must appear exactly once.  At scale the three scans fuse to one
+    isin() pass; they stay separate here because each IS the S7 operator
+    under test.  Certified-window member — s7/s8 twins stay below the
+    fold for isolation."""
+    from .operators.store import apply_update, get_triples
+    from .semantics import HAS_NAME, RDF_TYPE
+
+    ins = spark.createDataFrame(
+        [("ent:zzz", "urn:prop:inserted", "1", "urn:graph:web")],
+        "subject string, predicate string, object string, graph string")
+    out = apply_update(kg_tables(spark, sf).triples,
+                       delete={"p": HAS_NAME}, insert=ins)
+    scans = (get_triples(out, p=RDF_TYPE)
+             .union(get_triples(out, p=HAS_NAME))
+             .union(get_triples(out, p="urn:prop:inserted")))
+    return scans.groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("s9_nt_roundtrip", SQL_TRIPLES_LONG)
 def q_s9(spark, sf):
     """S9-S13/S19: serialize the triple store to N-Quads lines and parse
@@ -1519,6 +1601,62 @@ def q_m3(spark, sf):
     was rows-only); float64 division is bit-identical on both sides."""
     from .operators.multimodal import extract_features, synth_media
     return extract_features(synth_media(load(spark, sf, "documents")))
+
+
+@register("m_census_multimodal", f"""
+  WITH dec AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+           sha256(text) AS payload_sha
+    FROM documents),
+  fr AS (
+    SELECT doc_id, CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 4.0)
+                        AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+  b AS (
+    SELECT doc_id, ord(substr(text, i + 1, 1)) // 32 AS bin
+    FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+          FROM documents)),
+  feat AS (SELECT doc_id, [{_M3_BINS}] AS feature FROM b GROUP BY doc_id)
+  SELECT dec.doc_id, dec.media_type, dec.width, dec.height,
+         dec.n_payload_bytes, dec.payload_sha,
+         coalesce(fr.n_sampled, 0) AS n_sampled, feat.feature
+  FROM dec JOIN feat USING (doc_id) LEFT JOIN fr USING (doc_id)
+""")
+def q_m_census(spark, sf):
+    """Multimodal census: the whole media surface in ONE asset-catalog
+    row per document — decode (m1: binary container → typed metadata),
+    video frame sampling (m2: every-4th-frame count, left-joined so
+    images/audio keep n_sampled = 0), and feature extraction (m3:
+    L1-normalized byte histogram), all Arrow-batched mapInPandas over
+    the same synthetic media table (operators/multimodal.py; real codec
+    backends are documented guard-stubs).  The three branches re-scan
+    the same input — at scale you'd materialize synth_media once and
+    fan out; they stay separate plans here because each IS the operator
+    under test.  Certified-window member: one slot driver-certifies
+    decode+sample+features; the per-op twins m1/m2/m3 stay below the
+    fold for isolation."""
+    from .operators.multimodal import (
+        decode_media,
+        extract_features,
+        sample_frames,
+        synth_media,
+    )
+    media = synth_media(load(spark, sf, "documents"))
+    dec = decode_media(media)
+    fr = (sample_frames(media, every_n=4)
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled")))
+    feat = extract_features(media)
+    return (
+        dec.join(feat, "doc_id")
+        .join(fr, "doc_id", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+    )
 
 
 @register("frames_typed_roundtrip", """
@@ -2356,11 +2494,30 @@ _CERTIFIED_WINDOW = [
     # incremental == batch; no other row exercised §2.9 under the
     # driver) and g2_pagerank (PageRank joins g1's BFS so both halves
     # of the graph-analytics family are driver-certified).
+    # Late round 4, four more family-census rotations (each swaps a
+    # transitively-certified duplicate below the fold for a row that
+    # certifies previously mirror-only families):
+    #   kg_triples_long → s_census_store: s9_nt_roundtrip's oracle IS
+    #     SQL_TRIPLES_LONG and it must reproduce that exact table
+    #     through the N-Quads round-trip, so the S5 materialization
+    #     stays certified; the census adds S3/S7/S8/P1 (update +
+    #     bound-pattern scans) the driver never saw green.
+    #   kg_top_entities → v5_ivf_ann: A3's GROUP BY count ORDER is
+    #     certified by a1_tpch_q1, W1's global top-k by v2/v4's
+    #     TakeOrderedAndProject; IVF ANN is a distinct algorithm with
+    #     no other certified row.
+    #   tool1_lookup_rollup → ja_census_linked: task1 keeps the typed
+    #     task/tool facade family certified (same rollup shape, same
+    #     operators module); the census adds J1/J5/A4/A6.
+    #   m1_media_decode → m_census_multimodal: the census CONTAINS m1's
+    #     decode columns verbatim and adds m2 frame sampling + m3
+    #     features, so the decode family stays certified in the same
+    #     slot.
     "kg_docs_clean", "inc1_incremental_finalize", "g2_pagerank",
     "kg_linked",
     "kg_entities", "kg_relations", "kg_frame_reconstruct",
-    "kg_triples_long", "kg_provenance", "kg_cooccurrence",
-    "kg_top_entities", "sparql_path_reach", "kg_link_histogram", "kg_stats",
+    "s_census_store", "kg_provenance", "kg_cooccurrence",
+    "v5_ivf_ann", "sparql_path_reach", "kg_link_histogram", "kg_stats",
     "kg_vector_texts", "kg_hybrid_search",
     # store CRUD (S1-S18)
     "s1_object_roundtrip", "s4_remove_cascade", "s9_nt_roundtrip",
@@ -2375,16 +2532,18 @@ _CERTIFIED_WINDOW = [
     "c3_merged_search_rerank",
     # filter patterns + the string-builtin census
     "p5_ts_range", "p10_bind_if_exists", "f_census_builtins",
-    # joins (incl. the salted skew path and the multigraph union)
+    # joins (incl. the salted skew path, the multigraph union, and the
+    # J1/J5/A4/A6 census)
     "j2_frame_slots", "sparql_frame_construct", "j6_semi_exists",
     "j7_anti_not_exists", "j11_salted_linking", "x1_multigraph_stats",
+    "ja_census_linked",
     # aggregations / windows / sets
     "a1_tpch_q1", "a5_group_concat", "a8_pivot", "a9_first_wins",
     "w3_running_sum", "w5_asof_join", "u3_intersect",
     # graph analytics (BFS hops; pagerank mirror-checked below the fold)
     "g1_shortest_hops",
-    # typed task / tool facades
-    "task1_status_rollup", "tool1_lookup_rollup",
+    # typed task facade (tool1 below the fold — see rotation note above)
+    "task1_status_rollup",
     # vectors: filtered kNN + the LSH ANN path (IVF below the fold)
     "v2_knn_filtered", "v4_lsh_ann",
     # dedup: exact, end-to-end LSH classes, simhash
@@ -2393,8 +2552,8 @@ _CERTIFIED_WINDOW = [
     # certifies token/char counts, quality, lang guess and fingerprint;
     # t3's solo row rotates below the fold) + the composed corpus filter
     "t_census_text", "t5_corpus_filter",
-    # multimodal plumbing
-    "m1_media_decode",
+    # multimodal plumbing (decode + frame-sample + features in one slot)
+    "m_census_multimodal",
     # typed-literal object round-trip
     "frames_typed_roundtrip",
 ]
