@@ -71,8 +71,9 @@ Documented deviations (all on the engine's string data model):
 - ``GROUP_CONCAT`` sorts its inputs (deterministic distributed order);
 - ``MIN``/``MAX`` return the winning term's lexical form — ordered
   numerically when every non-null input casts to a number, else
-  lexically (covers the store's ISO dateTimes); ``SUM``/``AVG`` are
-  numeric, non-castable input → NULL;
+  lexically (covers the store's ISO dateTimes); ``SUM``/``AVG`` follow
+  the spec's error propagation — any bound non-numeric input makes the
+  group's aggregate unbound (unbound inputs are skipped, not errored);
 - an UPDATE template variable in object position carries a *lexical
   form*: DELETE matches it against any datatype/lang, INSERT writes a
   plain (untyped) literal;
@@ -2166,10 +2167,16 @@ class SparqlEngine:
             all_num = F.count(c) == F.count(num)
             lex = F.min(c) if name == "MIN" else F.max(c)
             return F.when(all_num, pick).otherwise(lex)
-        # SUM/AVG are numeric by definition (SPARQL raises a type error
-        # on non-numeric input; here non-castable values → NULL)
-        c = c.try_cast("double")
-        return {"SUM": F.sum(c), "AVG": F.avg(c)}[name]
+        # SUM/AVG are numeric by definition: a BOUND non-castable value
+        # is a type error, and errors propagate through the aggregate —
+        # the whole group's result is unbound (SPARQL 1.1 §18.5.1.5;
+        # pyoxigraph agrees).  Unbound (NULL) inputs are skipped, not
+        # errored — a documented deviation kept for Spark-agg symmetry
+        # with COUNT/MIN/MAX.
+        num = c.try_cast("double")
+        all_num = F.count(c) == F.count(num)
+        return F.when(all_num, {"SUM": F.sum(num),
+                                "AVG": F.avg(num)}[name])
 
     def _modifiers(self, df, q, bound) -> DataFrame:
         if q.get("order_by"):

@@ -233,6 +233,28 @@ def test_aggregates_and_modifiers(eng):
     assert [x["m"] for x in offs] == ["urn:msg1", "urn:msg2"]
 
 
+def test_sum_avg_error_propagation(spark):
+    """SPARQL 1.1 §18.5.1.5: a bound non-numeric input to SUM/AVG is a
+    type error and errors propagate — that group's aggregate is unbound
+    (pyoxigraph agrees); all-numeric groups aggregate normally."""
+    rows = [("urn:s1", "urn:p0", "alpha", None, None, "g"),
+            ("urn:s1", "urn:p0", "3.5",
+             "http://www.w3.org/2001/XMLSchema#decimal", None, "g"),
+            ("urn:s2", "urn:p0", "2",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+            ("urn:s2", "urn:p0", "0.5",
+             "http://www.w3.org/2001/XMLSchema#decimal", None, "g")]
+    e = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    got = {r["a"]: r["agg"] for r in e.query(
+        "SELECT ?a (SUM(?x) AS ?agg) WHERE { ?a <urn:p0> ?x } "
+        "GROUP BY ?a").collect()}
+    assert got == {"urn:s1": None, "urn:s2": 2.5}
+    got = {r["a"]: r["agg"] for r in e.query(
+        "SELECT ?a (AVG(?x) AS ?agg) WHERE { ?a <urn:p0> ?x } "
+        "GROUP BY ?a").collect()}
+    assert got == {"urn:s1": None, "urn:s2": 1.25}
+
+
 def test_ask(eng):
     assert eng.ask(P + "ASK { ?f a kg:KGFrame }")
     assert not eng.ask("ASK { <urn:nope> ?p ?o }")

@@ -399,17 +399,23 @@ def _gen_agg_query(rng: random.Random):
     base = [_gen_pattern(rng, vars_seen, numeric=numeric)]
     if rng.random() < 0.5:
         base.append(_gen_pattern(rng, vars_seen))
-    # group on a subject-position var when possible, else any var
+    # group on a subject-position var when possible, else any var —
+    # all-ground pattern sets happen (subject 30% iri × object 40%
+    # ground), so keep appending until at least one var exists
     gvars = sorted(_pat_vars(base))
+    while not gvars:
+        base.append(_gen_pattern(rng, vars_seen))
+        gvars = sorted(_pat_vars(base))
     g = rng.choice(gvars)
     # aggregate over an object var distinct from the group var
     avars = sorted(_pat_vars(base) - {g})
     a = rng.choice(avars) if avars else None
     choices = ["count_star"]
     if a:
-        choices += ["count_distinct", "min", "max", "sample"]
-        if numeric and a in "vwxy":
-            choices.append("sum")
+        # SUM over a var that binds non-numerics is fair game now: the
+        # engine propagates the type error (group agg → unbound) and the
+        # naive evaluator below mirrors that
+        choices += ["count_distinct", "min", "max", "sample", "sum"]
     agg = rng.choice(choices)
     having = rng.randint(1, 3) if rng.random() < 0.3 else None
     limit = rng.randint(1, 5) if rng.random() < 0.5 else None
@@ -455,7 +461,12 @@ def _agg_eval(q, rows):
         elif q["agg"] == "count_distinct":
             agg = len(set(vals))
         elif q["agg"] == "sum":
-            agg = sum(float(v) for v in vals)
+            # SPARQL §18.5.1.5: a bound non-numeric input is a type
+            # error and errors propagate — the group's SUM is unbound
+            try:
+                agg = sum(float(v) for v in vals)
+            except ValueError:
+                agg = None
         elif q["agg"] == "sample":
             # the engine's SAMPLE is deterministic: the lexical minimum
             agg = sorted(vals)[0]
@@ -469,7 +480,7 @@ def _agg_eval(q, rows):
     return out
 
 
-@pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.parametrize("seed", [5, 17, 1000, 1002])
 def test_sparql_aggregate_differential(spark, seed):
     rng = random.Random(seed)
     rows = _data(rng)
