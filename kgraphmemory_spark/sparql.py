@@ -94,7 +94,9 @@ Documented deviations (all on the engine's string data model):
   wins (joins coalesce left-first);
 - ``CONSTRUCT`` returns the deduplicated triple set (a graph is a set);
 - ``SPARQL UPDATE`` (``INSERT DATA`` / ``DELETE DATA`` /
-  ``DELETE WHERE`` / ``DELETE {} INSERT {} WHERE {}``) is a pure
+  ``DELETE WHERE`` / ``[WITH <g>] DELETE {} INSERT {} WHERE {}`` and
+  the graph-management forms ``CLEAR`` / ``DROP`` / ``CREATE`` /
+  ``ADD`` / ``MOVE`` / ``COPY`` / ``LOAD SILENT``) is a pure
   transform: ``update`` returns the NEW triples DataFrame instead of
   mutating in place (commit it through the snapshot catalog); a quad
   with no GRAPH term deletes across graphs / inserts with NULL graph,
@@ -818,7 +820,9 @@ class _Parser:
     # -- update forms ---------------------------------------------------
     def parse_update(self) -> list[tuple]:
         """``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
-        ``DELETE {} INSERT {} WHERE {}`` — pyoxigraph executes these via
+        ``[WITH <g>] DELETE {} INSERT {} WHERE {}`` plus the graph-
+        management forms ``CLEAR``/``DROP``/``CREATE``/``ADD``/``MOVE``/
+        ``COPY``/``LOAD`` — pyoxigraph executes all of these via
         ``store.update`` (reference sparql_update,
         kgraph_rdf_db.py:342-357).  Operations may chain with ``;``."""
         self._prologue()
@@ -832,20 +836,61 @@ class _Parser:
                     raise ValueError("INSERT without DATA needs a "
                                      "DELETE/WHERE form")
             elif self._kw("DELETE"):
-                if self._kw("DATA"):
-                    ops.append(("delete_data",
-                                self._ground_quads(self._group(None))))
-                elif self._kw("WHERE"):
-                    g = self._group(None)
-                    ops.append(("modify", self._flat_patterns(g), [], g))
-                else:
-                    dtmpl = self._flat_patterns(self._group(None))
-                    itmpl = []
-                    if self._kw("INSERT"):
-                        itmpl = self._flat_patterns(self._group(None))
+                ops.append(self._delete_tail(None))
+            elif self._kw("WITH"):
+                # WITH <g>: default graph for template quads AND for
+                # WHERE patterns that carry no GRAPH block (SPARQL 1.1
+                # Update §3.1.3) — applied as a graph-term rewrite so
+                # the rest of the compiler is untouched
+                wg = self._iri_str()
+                if self._kw("DELETE"):
+                    ops.append(self._delete_tail(wg))
+                elif self._kw("INSERT"):
+                    itmpl = self._with_quads(
+                        self._flat_patterns(self._group(None)), wg)
                     if not self._kw("WHERE"):
-                        raise ValueError("DELETE {} [INSERT {}] needs WHERE")
-                    ops.append(("modify", dtmpl, itmpl, self._group(None)))
+                        raise ValueError("WITH ... INSERT {} needs WHERE")
+                    ops.append(("modify", [], itmpl,
+                                self._apply_with(self._group(None), wg)))
+                else:
+                    raise ValueError("WITH needs DELETE or INSERT")
+            elif self._kw("CLEAR") or self._kw("DROP"):
+                # DROP == CLEAR on a quad table: graphs exist implicitly,
+                # so removing a graph's quads IS dropping it (documented
+                # divergence from stores that track empty named graphs)
+                self._kw("SILENT")
+                ops.append(("clear", self._clear_target()))
+            elif self._kw("CREATE"):
+                # graphs exist implicitly in a quad table — CREATE is a
+                # validated no-op (SILENT or not, it cannot fail here)
+                self._kw("SILENT")
+                if not self._kw("GRAPH"):
+                    raise ValueError("CREATE needs GRAPH <iri>")
+                self._iri_str()
+                ops.append(("noop",))
+            elif self._at("word") and self._peek()[1].upper() in (
+                    "ADD", "MOVE", "COPY"):
+                kind = self._next()[1].lower()
+                self._kw("SILENT")
+                src = self._graph_or_default()
+                if not self._kw("TO"):
+                    raise ValueError(f"{kind.upper()} needs TO")
+                ops.append((kind, src, self._graph_or_default()))
+            elif self._kw("LOAD"):
+                silent = self._kw("SILENT")
+                self._iri_str()
+                if self._kw("INTO"):
+                    if not self._kw("GRAPH"):
+                        raise ValueError("LOAD ... INTO needs GRAPH <iri>")
+                    self._iri_str()
+                if not silent:
+                    raise ValueError(
+                        "LOAD needs network I/O this engine does not do — "
+                        "parse the document with kgraphmemory_spark.io.rdf "
+                        "and union it in; LOAD SILENT is accepted as a "
+                        "no-op (SPARQL 1.1 §3.1.4 SILENT swallows the "
+                        "failure)")
+                ops.append(("noop",))
             else:
                 raise ValueError(f"unexpected update token "
                                  f"{self._peek()[1]!r}")
@@ -854,6 +899,90 @@ class _Parser:
         if not ops:
             raise ValueError("empty update request")
         return ops
+
+    def _delete_tail(self, with_g: str | None):
+        """The token stream after DELETE (WITH prefix already consumed)."""
+        if with_g is None and self._kw("DATA"):
+            return ("delete_data", self._ground_quads(self._group(None)))
+        if self._kw("WHERE"):
+            g = self._apply_with(self._group(None), with_g)
+            return ("modify", self._with_quads(self._flat_patterns(g),
+                                               with_g), [], g)
+        dtmpl = self._with_quads(self._flat_patterns(self._group(None)),
+                                 with_g)
+        itmpl = []
+        if self._kw("INSERT"):
+            itmpl = self._with_quads(self._flat_patterns(self._group(None)),
+                                     with_g)
+        if not self._kw("WHERE"):
+            raise ValueError("DELETE {} [INSERT {}] needs WHERE")
+        return ("modify", dtmpl, itmpl,
+                self._apply_with(self._group(None), with_g))
+
+    def _iri_str(self) -> str:
+        kind, val = self._next()
+        if kind == "iri":
+            return self._resolve(val[1:-1])
+        if kind == "pname":
+            return self._pname(val)
+        raise ValueError(f"expected IRI, got {val!r}")
+
+    def _clear_target(self):
+        if self._kw("DEFAULT"):
+            return "default"
+        if self._kw("NAMED"):
+            return "named"
+        if self._kw("ALL"):
+            return "all"
+        if not self._kw("GRAPH"):
+            raise ValueError(
+                "CLEAR/DROP needs GRAPH <iri> / DEFAULT / NAMED / ALL")
+        return self._iri_str()
+
+    def _graph_or_default(self):
+        if self._kw("DEFAULT"):
+            return "default"
+        self._kw("GRAPH")                       # optional keyword
+        return self._iri_str()
+
+    @staticmethod
+    def _with_quads(quads: list, with_g: str | None) -> list:
+        if with_g is None:
+            return quads
+        return [(s, p, o, gr if gr is not None else ("iri", with_g))
+                for s, p, o, gr in quads]
+
+    @classmethod
+    def _apply_with(cls, g: Group, with_g: str | None) -> Group:
+        """Rewrite every pattern with no GRAPH term to match only the
+        WITH graph (SPARQL 1.1 Update §3.1.3).  Explicit GRAPH blocks
+        already carry their term and are left alone; subselect arms keep
+        their own dataset (documented scoping choice).  Pattern tuples
+        are immutable and referenced from BOTH ``patterns`` and
+        ``elements``, so both lists are rebuilt in lockstep; nested
+        Groups are shared objects — mutating them once covers both
+        views."""
+        if with_g is None:
+            return g
+
+        def fix(pat):
+            s, p, o, gr = pat
+            return (s, p, o, gr if gr is not None else ("iri", with_g))
+
+        g.patterns = [fix(p) for p in g.patterns]
+        out = []
+        for kind, payload in g.elements:
+            if kind == "pattern":
+                payload = fix(payload)
+            elif kind in ("optional", "subgroup", "minus"):
+                cls._apply_with(payload, with_g)
+            elif kind == "union":
+                for arm in payload:
+                    if isinstance(arm, Group):
+                        cls._apply_with(arm, with_g)
+            out.append((kind, payload))
+        g.elements = out
+        return g
 
     def _flat_patterns(self, g: Group) -> list:
         """Group → flat (s, p, o, graph) list; only plain triples and
@@ -1085,7 +1214,9 @@ class SparqlEngine:
     # -- update ---------------------------------------------------------
     def update(self, text: str) -> DataFrame:
         """SPARQL UPDATE (INSERT DATA / DELETE DATA / DELETE WHERE /
-        DELETE {} INSERT {} WHERE {}) → the NEW triples DataFrame — the
+        [WITH <g>] DELETE {} INSERT {} WHERE {}, plus graph management:
+        CLEAR / DROP / CREATE / ADD / MOVE / COPY / LOAD SILENT)
+        → the NEW triples DataFrame — the
         engine's tables are immutable transforms (reference mutates its
         embedded store in place and returns bool,
         kgraph_rdf_db.py:342-357; commit the returned table through the
@@ -1101,6 +1232,12 @@ class SparqlEngine:
                                     allowMissingColumns=True)
             elif op[0] == "delete_data":
                 df = self._anti(df, self._quad_df(op[1]))
+            elif op[0] == "noop":                # CREATE / LOAD SILENT
+                pass
+            elif op[0] == "clear":               # CLEAR / DROP
+                df = self._clear(df, op[1])
+            elif op[0] in ("add", "move", "copy"):
+                df = self._graph_copy(df, *op)
             else:                                # ("modify", del, ins, where)
                 _, dtmpl, itmpl, where = op
                 sols, bound = self._group(where)
@@ -1113,6 +1250,51 @@ class SparqlEngine:
                                                           itmpl),
                                         allowMissingColumns=True)
         return df
+
+    def _graph_pred(self, target):
+        """Row predicate for a graph operand: 'default' = NULL graph,
+        else the named graph's IRI (null-safe so NULL-graph rows never
+        leak through a named-graph match)."""
+        if target == "default":
+            return F.col("graph").isNull()
+        return F.col("graph").eqNullSafe(F.lit(target))
+
+    def _clear(self, df: DataFrame, target) -> DataFrame:
+        """CLEAR/DROP: remove the target graph's quads (graphs exist
+        implicitly in a quad table, so DROP ≡ CLEAR — documented
+        divergence from stores that track empty named graphs)."""
+        if "graph" not in self.cols:
+            # single-graph table IS the default graph; a named target is
+            # vacuous, DEFAULT/ALL empty the store
+            return df.limit(0) if target in ("default", "all") else df
+        if target == "all":
+            return df.limit(0)
+        if target == "named":
+            return df.where(F.col("graph").isNull())
+        return df.where(~self._graph_pred(target))
+
+    def _graph_copy(self, df: DataFrame, kind, src, dst) -> DataFrame:
+        """ADD / MOVE / COPY <src> TO <dst> (SPARQL 1.1 Update §3.2.3-5)
+        as pure DataFrame algebra: relabel the source graph's quads, then
+        set-union them in.  ADD keeps both and only inserts quads the
+        destination lacks (set semantics); COPY replaces the destination;
+        MOVE additionally drops the source.  src == dst is a no-op per
+        spec."""
+        if "graph" not in self.cols:
+            raise ValueError(f"{kind.upper()} needs a graph column")
+        if src == dst:
+            return df
+        moved = (df.where(self._graph_pred(src))
+                 .withColumn("graph",
+                             F.lit(None).cast("string") if dst == "default"
+                             else F.lit(dst))
+                 .distinct())
+        if kind == "add":
+            return df.unionByName(moved.subtract(df))
+        out = df.where(~self._graph_pred(dst))
+        if kind == "move":
+            out = out.where(~self._graph_pred(src))
+        return out.unionByName(moved)
 
     def _quad_df(self, quads: list) -> DataFrame:
         spark = self.triples.sparkSession

@@ -542,6 +542,88 @@ def test_update_delete_where_and_modify(spark):
     assert ("urn:e2", "Other") not in names
 
 
+def _gm_eng(spark):
+    rows = [("urn:a", "urn:p", "1", None, None, None),       # default graph
+            ("urn:b", "urn:p", "2", None, None, "g1"),
+            ("urn:c", "urn:q", "3", None, None, "g1"),
+            ("urn:d", "urn:p", "4", None, None, "g2")]
+    return SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+
+
+def test_update_clear_drop(spark):
+    eng = _gm_eng(spark)
+    got = {(r["subject"], r["graph"])
+           for r in eng.update("CLEAR GRAPH <g1>").collect()}
+    assert got == {("urn:a", None), ("urn:d", "g2")}
+    got = {r["subject"] for r in eng.update("CLEAR DEFAULT").collect()}
+    assert got == {"urn:b", "urn:c", "urn:d"}
+    got = {r["subject"] for r in eng.update("CLEAR NAMED").collect()}
+    assert got == {"urn:a"}
+    assert eng.update("CLEAR ALL").count() == 0
+    # DROP ≡ CLEAR on a quad table (graphs exist implicitly); SILENT ok
+    got = {r["subject"] for r in eng.update("DROP SILENT GRAPH <g2>").collect()}
+    assert got == {"urn:a", "urn:b", "urn:c"}
+
+
+def test_update_add_move_copy(spark):
+    eng = _gm_eng(spark)
+    # ADD: set-union into dst; src untouched; src == dst is a no-op
+    out = eng.update("ADD <g1> TO <g2>")
+    got = {(r["subject"], r["graph"]) for r in out.collect()}
+    assert {("urn:b", "g1"), ("urn:c", "g1"),
+            ("urn:b", "g2"), ("urn:c", "g2"), ("urn:d", "g2")} <= got
+    assert eng.update("ADD <g1> TO <g1>").count() == 4
+    # ADD twice inserts nothing new (set semantics)
+    assert eng.update("ADD <g1> TO <g2> ; ADD <g1> TO <g2>").count() == 6
+    # COPY replaces the destination entirely
+    got = {(r["subject"], r["graph"])
+           for r in eng.update("COPY <g1> TO <g2>").collect()}
+    assert got == {("urn:a", None), ("urn:b", "g1"), ("urn:c", "g1"),
+                   ("urn:b", "g2"), ("urn:c", "g2")}
+    # MOVE drops the source; DEFAULT is a valid operand
+    got = {(r["subject"], r["graph"])
+           for r in eng.update("MOVE <g1> TO DEFAULT").collect()}
+    assert got == {("urn:b", None), ("urn:c", None), ("urn:d", "g2")}
+    # COPY of an empty graph clears the destination (spec: DROP + ADD)
+    got = {(r["subject"], r["graph"])
+           for r in eng.update("COPY <gnope> TO <g2>").collect()}
+    assert got == {("urn:a", None), ("urn:b", "g1"), ("urn:c", "g1")}
+
+
+def test_update_create_and_load(spark):
+    eng = _gm_eng(spark)
+    # CREATE: graphs exist implicitly — validated no-op, chains fine
+    out = eng.update("CREATE GRAPH <g9> ; CLEAR GRAPH <g2>")
+    assert out.count() == 3
+    # LOAD needs network I/O → explicit error; SILENT swallows it (spec)
+    with pytest.raises(ValueError, match="LOAD"):
+        eng.update("LOAD <http://ex.org/data.ttl>")
+    assert eng.update(
+        "LOAD SILENT <http://ex.org/data.ttl> INTO GRAPH <g1>").count() == 4
+
+
+def test_update_with_graph(spark):
+    rows = [("urn:e", "urn:p", "x", None, None, "g1"),
+            ("urn:e", "urn:p", "x", None, None, "g2")]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    # WITH <g1> scopes the WHERE match AND the template graph: only g1's
+    # row is rewritten, g2's identical triple is untouched
+    out = eng.update("""WITH <g1>
+        DELETE { ?s <urn:p> "x" } INSERT { ?s <urn:p> "y" }
+        WHERE { ?s <urn:p> "x" }""")
+    got = {(r["object"], r["graph"]) for r in out.collect()}
+    assert got == {("y", "g1"), ("x", "g2")}
+    # WITH + INSERT-only form; an explicit GRAPH block overrides WITH
+    out2 = eng.update("""WITH <g2> INSERT {
+          ?s <urn:r> "z" . GRAPH <g3> { ?s <urn:r> "w" } }
+        WHERE { ?s <urn:p> "x" }""")
+    got2 = {(r["predicate"], r["object"], r["graph"]) for r in out2.collect()}
+    assert ("urn:r", "z", "g2") in got2 and ("urn:r", "w", "g3") in got2
+    # WITH + DELETE WHERE shorthand stays graph-scoped
+    out3 = eng.update("WITH <g2> DELETE WHERE { ?s <urn:p> ?o }")
+    assert {(r["object"], r["graph"]) for r in out3.collect()} == {("x", "g1")}
+
+
 def test_update_rejects_vars_in_data(spark):
     eng = SparqlEngine(spark.createDataFrame(
         [("urn:a", "urn:p", "x", None, None, None)], SCHEMA))
