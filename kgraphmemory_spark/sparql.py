@@ -914,6 +914,10 @@ class _Parser:
         if self._kw("INSERT"):
             itmpl = self._with_quads(self._flat_patterns(self._group(None)),
                                      with_g)
+        if self._at("word") and self._peek()[1].upper() == "USING":
+            raise ValueError(
+                "USING dataset clauses are not supported — scope the "
+                "update with WITH <iri> or GRAPH blocks instead")
         if not self._kw("WHERE"):
             raise ValueError("DELETE {} [INSERT {}] needs WHERE")
         return ("modify", dtmpl, itmpl,
