@@ -276,6 +276,27 @@ class Group:
 
 
 # Terms: ("var", name) | ("iri", value) | ("lit", lexical, dt, lang)
+# Graph-position-only terms produced by the FROM/FROM NAMED rewrite:
+# ("in", iris) restricts the scan to a named-graph set (empty = matches
+# nothing), ("varin", name, iris) binds the graph variable AND restricts
+# it to the FROM NAMED set.
+
+
+def _dataset_fix(dflt: tuple, named: tuple):
+    """Graph-term rewriter for a FROM/FROM NAMED dataset (§13.2): the
+    query's default graph is the MERGE of the FROM graphs, and GRAPH
+    matches only the FROM NAMED set — each side empty when its clause is
+    absent."""
+    def fix(pat):
+        s, p, o, gr = pat
+        if gr is None:
+            return (s, p, o, ("in", dflt))
+        if gr[0] == "iri":
+            return pat if gr[1] in named else (s, p, o, ("in", ()))
+        if gr[0] == "var":
+            return (s, p, o, ("varin", gr[1], named))
+        return pat
+    return fix
 
 
 _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
@@ -744,19 +765,50 @@ class _Parser:
     # -- query forms ----------------------------------------------------
     def parse(self) -> dict:
         self._prologue()
+        self.dataset: tuple | None = None
+        q = self._form()
+        if self.dataset is not None:
+            # FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2):
+            # rewrite graph terms once at parse time so the compiler is
+            # untouched — patterns with no GRAPH match the merged FROM
+            # graphs, GRAPH <iri>/?var restrict to the FROM NAMED set
+            # (absent clause ⇒ that side of the dataset is empty)
+            q["_dataset"] = self.dataset
+            if q.get("where") is not None:
+                self._rewrite_graphs(q["where"],
+                                     _dataset_fix(*self.dataset))
+        return q
+
+    def _parse_dataset(self, sub: bool = False) -> None:
+        while self._at("word") and self._peek()[1].upper() == "FROM":
+            if sub:
+                raise ValueError("FROM is not allowed in a subquery")
+            self.i += 1
+            dflt, named = self.dataset or ((), ())
+            if self._kw("NAMED"):
+                named = named + (self._iri_str(),)
+            else:
+                dflt = dflt + (self._iri_str(),)
+            self.dataset = (dflt, named)
+
+    def _form(self) -> dict:
         if self._kw("SELECT"):
             return self._select()
         if self._kw("ASK"):
+            self._parse_dataset()
             return {"form": "ask", "where": self._where_group()}
         if self._kw("CONSTRUCT"):
-            if self._peek()[0] == "word" and \
-                    self._peek()[1].upper() == "WHERE":
-                # SPARQL 1.1 §10.2.3 shorthand: CONSTRUCT WHERE { BGP } —
-                # the pattern doubles as the template; the spec restricts
-                # the body to a basic graph pattern (no FILTER/OPTIONAL/
-                # paths), which _triples_block enforces by construction
-                # and the path check below completes
-                self.i += 1
+            if not self._at("op", "{"):
+                # SPARQL 1.1 §10.2.3 shorthand: CONSTRUCT [FROM ...]
+                # WHERE { BGP } — the pattern doubles as the template;
+                # the spec restricts the body to a basic graph pattern
+                # (no FILTER/OPTIONAL/paths), which _triples_block
+                # enforces by construction and the path check below
+                # completes
+                self._parse_dataset()
+                if not self._kw("WHERE"):
+                    raise ValueError("CONSTRUCT needs a { template } "
+                                     "or WHERE")
                 g = Group()
                 self._expect("op", "{")
                 while not self._at("op", "}"):
@@ -778,6 +830,7 @@ class _Parser:
                 self._triples_block(tmpl, None)
                 self._kw_dot_opt()
             self._expect("op", "}")
+            self._parse_dataset()
             if not self._kw("WHERE"):
                 raise ValueError("CONSTRUCT needs WHERE")
             for _s, _p, _o, _g in tmpl.patterns:
@@ -803,6 +856,7 @@ class _Parser:
             if not (star or vars_ or iris):
                 raise ValueError("DESCRIBE needs * or at least one "
                                  "variable/IRI")
+            self._parse_dataset()
             where = None
             if self._at("op", "{") or (
                     self._peek()[0] == "word"
@@ -960,12 +1014,7 @@ class _Parser:
     def _apply_with(cls, g: Group, with_g: str | None) -> Group:
         """Rewrite every pattern with no GRAPH term to match only the
         WITH graph (SPARQL 1.1 Update §3.1.3).  Explicit GRAPH blocks
-        already carry their term and are left alone; subselect arms keep
-        their own dataset (documented scoping choice).  Pattern tuples
-        are immutable and referenced from BOTH ``patterns`` and
-        ``elements``, so both lists are rebuilt in lockstep; nested
-        Groups are shared objects — mutating them once covers both
-        views."""
+        already carry their term and are left alone."""
         if with_g is None:
             return g
 
@@ -973,20 +1022,51 @@ class _Parser:
             s, p, o, gr = pat
             return (s, p, o, gr if gr is not None else ("iri", with_g))
 
+        return cls._rewrite_graphs(g, fix)
+
+    @classmethod
+    def _rewrite_graphs(cls, g: Group, fix) -> Group:
+        """Apply ``fix`` to every pattern's graph position, recursively
+        through OPTIONAL/MINUS/subgroups/UNION arms, subselect bodies and
+        EXISTS groups inside FILTER/BIND expressions.  Pattern tuples are
+        immutable and referenced from BOTH ``patterns`` and ``elements``,
+        so the two lists are rebuilt in lockstep; nested Groups are
+        shared objects — mutating them once covers both views."""
         g.patterns = [fix(p) for p in g.patterns]
         out = []
         for kind, payload in g.elements:
             if kind == "pattern":
                 payload = fix(payload)
             elif kind in ("optional", "subgroup", "minus"):
-                cls._apply_with(payload, with_g)
+                cls._rewrite_graphs(payload, fix)
             elif kind == "union":
                 for arm in payload:
                     if isinstance(arm, Group):
-                        cls._apply_with(arm, with_g)
+                        cls._rewrite_graphs(arm, fix)
+                    elif isinstance(arm, tuple) and arm[0] == "sq":
+                        cls._rewrite_graphs(arm[1]["where"], fix)
+            elif kind == "subselect":
+                cls._rewrite_graphs(payload["where"], fix)
+            elif kind == "bind":
+                cls._rewrite_expr_groups(payload[0], fix)
             out.append((kind, payload))
         g.elements = out
+        for e in g.filters:
+            cls._rewrite_expr_groups(e, fix)
         return g
+
+    @classmethod
+    def _rewrite_expr_groups(cls, e, fix) -> None:
+        """EXISTS / NOT EXISTS groups hide inside expression trees."""
+        if isinstance(e, tuple):
+            if e and e[0] == "exists":
+                cls._rewrite_graphs(e[2], fix)
+                return
+            for y in e:
+                cls._rewrite_expr_groups(y, fix)
+        elif isinstance(e, list):
+            for y in e:
+                cls._rewrite_expr_groups(y, fix)
 
     def _flat_patterns(self, g: Group) -> list:
         """Group → flat (s, p, o, graph) list; only plain triples and
@@ -1036,6 +1116,7 @@ class _Parser:
                 q["proj"].append(("expr", e, var))
             else:
                 break
+        self._parse_dataset(sub=sub)
         q["where"] = self._where_group()
         q.update(self._modifiers(sub=sub))
         return q
@@ -1212,8 +1293,15 @@ class SparqlEngine:
         for p in parts[1:]:
             res = res.unionByName(p)
         res = res.distinct()
-        return self.triples.join(
-            res, self.triples["subject"] == res["r"], "left_semi")
+        store = self.triples
+        if q.get("_dataset"):
+            # the description itself comes from the FROM graphs (§13.2:
+            # the query's default graph is their merge)
+            dflt = list(q["_dataset"][0])
+            store = store.where(F.col("graph").isin(dflt) if dflt
+                                else F.lit(False))
+        return store.join(
+            res, store["subject"] == res["r"], "left_semi")
 
     # -- update ---------------------------------------------------------
     def update(self, text: str) -> DataFrame:
@@ -1390,7 +1478,12 @@ class SparqlEngine:
             if "graph" not in self.cols:
                 raise ValueError("GRAPH pattern over a table with no "
                                  "graph column")
-            df = df.where(F.col("graph") == g[1])
+            if g[0] == "in":                     # FROM dataset restriction
+                vals = list(g[1])
+                df = df.where(F.col("graph").isin(vals) if vals
+                              else F.lit(False))
+            else:
+                df = df.where(F.col("graph") == g[1])
         return df
 
     def _graph_nodes(self, g) -> DataFrame:
@@ -1609,7 +1702,7 @@ class SparqlEngine:
         ``GRAPH ?var`` the pair relation is graph-keyed (one plan, no
         per-graph loop) and the graph variable binds the key column."""
         s, p, o, g = pat
-        graph_var = g is not None and g[0] == "var"
+        graph_var = g is not None and g[0] in ("var", "varin")
         df = self._path_pairs_var(p) if graph_var \
             else self._path_pairs(p, g)
         conds: list[Column] = []
@@ -1628,7 +1721,13 @@ class SparqlEngine:
         bind(s, "s")
         bind(o, "o")
         if graph_var:
-            bind(g, "g")
+            if g[0] == "varin":                  # GRAPH ?v under FROM NAMED
+                vals = list(g[2])
+                conds.append(F.col("g").isin(vals) if vals
+                             else F.lit(False))
+                bind(("var", g[1]), "g")
+            else:
+                bind(g, "g")
         for c in conds:
             df = df.where(c)
         if proj:
@@ -1684,6 +1783,15 @@ class SparqlEngine:
                             meta_proj[_meta_col(name, "uri")] = F.lit(True)
             elif kind == "iri":
                 conds.append(F.col(colname) == term[1])
+            elif kind == "in":                   # dataset-restricted graph
+                vals = list(term[1])
+                conds.append(F.col(colname).isin(vals) if vals
+                             else F.lit(False))
+            elif kind == "varin":                # GRAPH ?v under FROM NAMED
+                vals = list(term[2])
+                conds.append(F.col(colname).isin(vals) if vals
+                             else F.lit(False))
+                bind(("var", term[1]), colname)
             else:                                # typed/plain literal
                 _, lex, dt, lang = term
                 conds.append(F.col(colname) == lex)

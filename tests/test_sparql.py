@@ -542,6 +542,48 @@ def test_update_delete_where_and_modify(spark):
     assert ("urn:e2", "Other") not in names
 
 
+def test_dataset_from_clauses(spark):
+    """FROM / FROM NAMED (§13.2): the default graph is the MERGE of the
+    FROM graphs; GRAPH patterns see only the FROM NAMED set; each side is
+    empty when its clause is absent."""
+    rows = [("urn:a", "urn:p", "1", None, None, "g1"),
+            ("urn:b", "urn:p", "2", None, None, "g2"),
+            ("urn:c", "urn:p", "3", None, None, None),
+            ("urn:a", "urn:q", "urn:b", None, None, "g1")]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+
+    def t(q):
+        return sorted(tuple(r) for r in eng.query(q).collect())
+
+    assert t("SELECT ?s FROM <g1> WHERE { ?s <urn:p> ?o }") == [("urn:a",)]
+    assert t("SELECT ?s FROM <g1> FROM <g2> WHERE { ?s <urn:p> ?o }") == [
+        ("urn:a",), ("urn:b",)]
+    # FROM NAMED only → default graph empty; GRAPH restricted to the set
+    assert t("SELECT ?s FROM NAMED <g1> WHERE { ?s <urn:p> ?o }") == []
+    assert t("SELECT ?g ?s FROM NAMED <g2> WHERE "
+             "{ GRAPH ?g { ?s <urn:p> ?o } }") == [("g2", "urn:b")]
+    assert t("SELECT ?s FROM NAMED <g2> WHERE "
+             "{ GRAPH <g1> { ?s <urn:p> ?o } }") == []
+    # property path under a FROM dataset
+    assert t("SELECT ?s ?o FROM <g1> WHERE { ?s <urn:q>+ ?o }") == [
+        ("urn:a", "urn:b")]
+    # no dataset clause keeps the engine's union-default convention
+    assert t("SELECT ?s WHERE { ?s <urn:p> ?o }") == [
+        ("urn:a",), ("urn:b",), ("urn:c",)]
+    # ASK / CONSTRUCT-shorthand / DESCRIBE all accept dataset clauses
+    assert eng.ask("ASK FROM <g1> { ?s <urn:p> ?o }")
+    assert not eng.ask("ASK FROM NAMED <g1> { ?s <urn:p> ?o }")
+    got = {tuple(r) for r in eng.construct(
+        "CONSTRUCT FROM <g2> WHERE { ?s <urn:p> ?o }").collect()}
+    assert got == {("urn:b", "urn:p", "2")}
+    desc = {(r["subject"], r["graph"]) for r in eng.describe(
+        "DESCRIBE <urn:a> FROM <g1>").collect()}
+    assert desc == {("urn:a", "g1")}
+    with pytest.raises(ValueError, match="subquery"):
+        eng.query("SELECT ?s WHERE { { SELECT ?s FROM <g1> "
+                  "WHERE { ?s <urn:p> ?o } } }")
+
+
 def _gm_eng(spark):
     rows = [("urn:a", "urn:p", "1", None, None, None),       # default graph
             ("urn:b", "urn:p", "2", None, None, "g1"),
