@@ -110,9 +110,18 @@ property paths under ``GRAPH ?var`` (graph-keyed pair algebra: one
 plan, closure per named graph, no per-graph loop), and UNION with
 subquery arms.
 
+Late round 4 added the remaining builtin surface: ``sameTerm`` /
+``isNumeric`` (term identity and numeric-datatype tests over the same
+metadata sidecars as LANG/DATATYPE), ``TIMEZONE`` (canonical
+xsd:dayTimeDuration), XPath constructor casts (``xsd:integer(?x)``
+etc.), the nondeterministic builtins ``NOW`` (one value per engine
+call, §17.4.5.1) / ``RAND`` / ``UUID`` / ``STRUUID`` / ``BNODE()``,
+bare ``FILTER BuiltInCall`` without parens, UPDATE's plain
+``INSERT {} WHERE {}`` op and ``USING [NAMED]`` dataset clauses.
+
 Not supported (raises): paths in CONSTRUCT/update templates, SERVICE,
-NOW()/rand-style nondeterministic builtins, named-graph management.
-IRI() over a *computed* string does not re-resolve against BASE.
+``BNODE(?str)`` (the 0-arg form works). IRI() over a *computed*
+string does not re-resolve against BASE.
 """
 
 from __future__ import annotations
@@ -199,6 +208,9 @@ _URI_SHAPE = r'^[A-Za-z][A-Za-z0-9+.\-]*:[^\s"<>]*$'
 # query's plan is untouched
 _INTROSPECT = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
                "ISBLANK"}
+# these also need the sidecars (term identity / numeric datatype), but
+# compile through their own branches rather than _introspect's
+_META_FUNCS = _INTROSPECT | {"SAMETERM", "ISNUMERIC"}
 
 
 def _meta_col(var: str, kind: str) -> str:
@@ -213,13 +225,14 @@ def _introspected_vars(parsed) -> set:
 
     def walk(x):
         if isinstance(x, tuple):
-            if x and x[0] == "func" and x[1] in _INTROSPECT:
-                arg = x[2][0]
-                if arg[0] == "var":
-                    out.add(arg[1])
-                elif arg[0] not in ("lit", "iri"):
-                    raise ValueError(
-                        f"{x[1]} argument must be a variable or constant")
+            if x and x[0] == "func" and x[1] in _META_FUNCS:
+                for arg in x[2]:
+                    if arg[0] == "var":
+                        out.add(arg[1])
+                    elif arg[0] not in ("lit", "iri"):
+                        raise ValueError(
+                            f"{x[1]} argument must be a variable or "
+                            f"constant")
             for y in x:
                 walk(y)
         elif isinstance(x, list):
@@ -660,6 +673,13 @@ class _Parser:
             if not self._kw("EXISTS"):
                 raise ValueError("expected EXISTS after NOT")
             return ("exists", False, self._group(None))
+        kind, val = self._peek()
+        # Constraint ::= BrackettedExpression | BuiltInCall | FunctionCall
+        # (§19.8 [69]): FILTER sameTerm(?a, ?b) needs no extra parens
+        if (kind == "word" and val.upper() in self._FUNCS
+                and self._peek(1) == ("op", "(")) or \
+                (kind in ("pname", "iri") and self._peek(1) == ("op", "(")):
+            return self._unary()
         self._expect("op", "(")
         e = self._expr()
         self._expect("op", ")")
@@ -719,7 +739,9 @@ class _Parser:
               "HOURS": 1, "MINUTES": 1, "SECONDS": 1, "TZ": 1,
               "LANG": 1, "DATATYPE": 1, "ISIRI": 1, "ISURI": 1,
               "ISLITERAL": 1, "ISBLANK": 1, "LANGMATCHES": 2,
-              "IRI": 1, "URI": 1, "STRLANG": 2, "STRDT": 2}
+              "IRI": 1, "URI": 1, "STRLANG": 2, "STRDT": 2,
+              "SAMETERM": 2, "ISNUMERIC": 1, "TIMEZONE": 1,
+              "NOW": 0, "RAND": 0, "UUID": 0, "STRUUID": 0, "BNODE": 0}
 
     def _unary(self):
         kind, val = self._peek()
@@ -745,10 +767,12 @@ class _Parser:
             if up in self._FUNCS:
                 self.i += 1
                 self._expect("op", "(")
-                args = [self._expr()]
-                while self._at("op", ","):
-                    self.i += 1
+                args = []
+                if not self._at("op", ")"):
                     args.append(self._expr())
+                    while self._at("op", ","):
+                        self.i += 1
+                        args.append(self._expr())
                 self._expect("op", ")")
                 want = self._FUNCS[up]
                 ok = (True if want is None else
@@ -757,9 +781,15 @@ class _Parser:
                 if not ok:
                     raise ValueError(f"{up} arity {len(args)}")
                 return ("func", up, args)
-            if up in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
-                raise ValueError(f"nondeterministic builtin {up}() is not "
-                                 "supported")
+        if kind in ("pname", "iri") and self._peek(1) == ("op", "("):
+            # XPath constructor function call — xsd:integer(?x) etc.
+            # (SPARQL 1.1 §17.5); normalized to ("func","CAST",[dt, arg])
+            dt = (self._pname(val) if kind == "pname"
+                  else self._resolve(val[1:-1]))
+            self.i += 2
+            arg = self._expr()
+            self._expect("op", ")")
+            return ("func", "CAST", [("iri", dt), arg])
         return self._term()
 
     # -- query forms ----------------------------------------------------
@@ -887,8 +917,7 @@ class _Parser:
                     ops.append(("insert_data",
                                 self._ground_quads(self._group(None))))
                 else:
-                    raise ValueError("INSERT without DATA needs a "
-                                     "DELETE/WHERE form")
+                    ops.append(self._insert_tail(None))
             elif self._kw("DELETE"):
                 ops.append(self._delete_tail(None))
             elif self._kw("WITH"):
@@ -900,12 +929,7 @@ class _Parser:
                 if self._kw("DELETE"):
                     ops.append(self._delete_tail(wg))
                 elif self._kw("INSERT"):
-                    itmpl = self._with_quads(
-                        self._flat_patterns(self._group(None)), wg)
-                    if not self._kw("WHERE"):
-                        raise ValueError("WITH ... INSERT {} needs WHERE")
-                    ops.append(("modify", [], itmpl,
-                                self._apply_with(self._group(None), wg)))
+                    ops.append(self._insert_tail(wg))
                 else:
                     raise ValueError("WITH needs DELETE or INSERT")
             elif self._kw("CLEAR") or self._kw("DROP"):
@@ -968,14 +992,35 @@ class _Parser:
         if self._kw("INSERT"):
             itmpl = self._with_quads(self._flat_patterns(self._group(None)),
                                      with_g)
-        if self._at("word") and self._peek()[1].upper() == "USING":
-            raise ValueError(
-                "USING dataset clauses are not supported — scope the "
-                "update with WITH <iri> or GRAPH blocks instead")
+        return ("modify", dtmpl, itmpl, self._modify_where(with_g))
+
+    def _insert_tail(self, with_g: str | None):
+        """The token stream after an INSERT-only Modify op's INSERT
+        keyword (DATA already ruled out): template, then USING*/WHERE."""
+        itmpl = self._with_quads(self._flat_patterns(self._group(None)),
+                                 with_g)
+        return ("modify", [], itmpl, self._modify_where(with_g))
+
+    def _modify_where(self, with_g: str | None) -> Group:
+        """``UsingClause* WHERE GroupGraphPattern`` — the Modify tail
+        (SPARQL 1.1 Update §3.1.3).  USING / USING NAMED assemble a
+        FROM-style dataset for the WHERE pattern and, per spec, override
+        WITH there (WITH keeps governing the template quads only); with
+        no USING clause the WITH graph scopes ungraphed WHERE patterns."""
+        using = None
+        while self._kw("USING"):
+            dflt, named = using or ((), ())
+            if self._kw("NAMED"):
+                named += (self._iri_str(),)
+            else:
+                dflt += (self._iri_str(),)
+            using = (dflt, named)
         if not self._kw("WHERE"):
-            raise ValueError("DELETE {} [INSERT {}] needs WHERE")
-        return ("modify", dtmpl, itmpl,
-                self._apply_with(self._group(None), with_g))
+            raise ValueError("DELETE {} / INSERT {} template needs WHERE")
+        g = self._group(None)
+        if using is not None:
+            return self._rewrite_graphs(g, _dataset_fix(*using))
+        return self._apply_with(g, with_g)
 
     def _iri_str(self) -> str:
         kind, val = self._next()
@@ -1219,6 +1264,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "select":
             raise ValueError(f"query() got a {q['form']} query")
+        self._now = None
         self._meta = _introspected_vars(q)
         return self._select(q)
 
@@ -1227,6 +1273,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "ask":
             raise ValueError(f"ask() got a {q['form']} query")
+        self._now = None
         self._meta = _introspected_vars(q)
         df, _ = self._group(q["where"])
         return df.limit(1).count() > 0
@@ -1237,6 +1284,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "construct":
             raise ValueError(f"construct() got a {q['form']} query")
+        self._now = None
         self._meta = _introspected_vars(q)
         df, bound = self._group(q["where"])
         df = self._modifiers(df, q, bound)
@@ -1274,6 +1322,7 @@ class SparqlEngine:
         q = _Parser(text).parse()
         if q["form"] != "describe":
             raise ValueError(f"describe() got a {q['form']} query")
+        self._now = None
         self._meta = _introspected_vars(q)
         parts = []
         if q["where"] is not None:
@@ -1306,7 +1355,8 @@ class SparqlEngine:
     # -- update ---------------------------------------------------------
     def update(self, text: str) -> DataFrame:
         """SPARQL UPDATE (INSERT DATA / DELETE DATA / DELETE WHERE /
-        [WITH <g>] DELETE {} INSERT {} WHERE {}, plus graph management:
+        [WITH <g>] DELETE {} INSERT {} [USING [NAMED] <g>]* WHERE {},
+        plus graph management:
         CLEAR / DROP / CREATE / ADD / MOVE / COPY / LOAD SILENT)
         → the NEW triples DataFrame — the
         engine's tables are immutable transforms (reference mutates its
@@ -1316,6 +1366,7 @@ class SparqlEngine:
         GRAPH term matches/inserts with a NULL graph wildcard — the same
         convention as operators.store.remove_triples."""
         ops = _Parser(text).parse_update()
+        self._now = None
         self._meta = _introspected_vars(ops)
         df = self.triples
         for op in ops:
@@ -2199,6 +2250,47 @@ class SparqlEngine:
                 return cargs[0]
             if name in _INTROSPECT:
                 return self._introspect(name, e[2][0], df)
+            if name == "SAMETERM":
+                # RDF-term identity (§17.4.1.8): canonical term keys
+                # built from the metadata sidecars (kind | datatype |
+                # lang | lexical); unbound argument → NULL (error)
+                return self._term_key(e[2][0], df) == \
+                    self._term_key(e[2][1], df)
+            if name == "ISNUMERIC":
+                return self._is_numeric(e[2][0], df)
+            if name == "TIMEZONE":
+                # tz offset → canonical xsd:dayTimeDuration lexical form
+                # ("-05:00" → "-PT5H", "Z" → "PT0S"); no offset = error
+                tz = F.regexp_extract(cargs[0],
+                                      r"(Z|[+-]\d{2}:\d{2})$", 1)
+                hh = F.substring(tz, 2, 2).try_cast("int")
+                mm = F.substring(tz, 5, 2).try_cast("int")
+                body = F.concat(
+                    F.when(hh > 0, F.concat(hh.cast("string"),
+                                            F.lit("H"))).otherwise(F.lit("")),
+                    F.when(mm > 0, F.concat(mm.cast("string"),
+                                            F.lit("M"))).otherwise(F.lit("")))
+                sign = F.when(tz.startswith("-"), F.lit("-")) \
+                    .otherwise(F.lit(""))
+                return (F.when(tz == "", F.lit(None).cast("string"))
+                        .when((tz == "Z") | ((hh == 0) & (mm == 0)),
+                              F.lit("PT0S"))
+                        .otherwise(F.concat(sign, F.lit("PT"), body)))
+            if name == "CAST":
+                return self._xsd_cast(e[2][0][1], cargs[1])
+            if name == "NOW":
+                # fixed for the whole query per §17.4.5.1 — captured
+                # once per engine call (see _now_lit)
+                return F.lit(self._now_lit())
+            if name == "RAND":
+                return F.rand()
+            if name == "UUID":
+                return F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+            if name == "STRUUID":
+                return F.expr("uuid()")
+            if name == "BNODE":
+                return F.concat(F.lit("_:b"),
+                                F.expr("replace(uuid(), '-', '')"))
             if name == "LANGMATCHES":
                 rng_e = e[2][1]
                 if rng_e[0] != "lit":
@@ -2249,6 +2341,12 @@ class SparqlEngine:
                 if dte[0] != "iri":
                     raise ValueError("STRDT datatype must be an IRI")
                 dt = F.lit(dte[1])
+            elif nm == "CAST":
+                dt = F.lit(expr[2][0][1])
+            elif nm == "NOW":
+                dt = F.lit(XSD + "dateTime")
+            elif nm in ("UUID", "BNODE"):
+                uri = F.lit(True)
         return (df.withColumn(_meta_col(var, "dt"), dt)
                 .withColumn(_meta_col(var, "lang"), lang)
                 .withColumn(_meta_col(var, "uri"), uri))
@@ -2312,6 +2410,90 @@ class SparqlEngine:
         # LANG: "" for literals without a tag; NULL (error) for IRIs
         return F.when(val.isNotNull() & ~uri_c,
                       F.coalesce(lang_c, F.lit("")))
+
+    def _term_key(self, arg, df) -> Column:
+        """Canonical term-identity key for sameTerm: ``R|<lex>`` for
+        references (IRIs / blank nodes), ``L|<dt>|<lang>|<lex>`` for
+        literals, with the same effective-datatype and shape-heuristic
+        fallbacks as _introspect.  NULL (error) when unbound."""
+        if arg[0] == "lit":
+            _, lex, dt, lang = arg
+            eff = dt or (RDF_LANGSTRING if lang else XSD_STRING)
+            return F.lit(f"L|{eff}|{lang or ''}|{lex}")
+        if arg[0] == "iri":
+            return F.lit("R|" + arg[1])
+        v = arg[1]
+        val = F.col(v)
+        if df is not None and _meta_col(v, "dt") in df.columns:
+            dt_c = F.col(_meta_col(v, "dt"))
+            lang_c = F.col(_meta_col(v, "lang"))
+            uri_c = F.coalesce(F.col(_meta_col(v, "uri")), F.lit(False))
+            eff = F.coalesce(
+                dt_c, F.when(lang_c.isNotNull() & (lang_c != ""),
+                             F.lit(RDF_LANGSTRING))
+                .otherwise(F.lit(XSD_STRING)))
+            key = F.when(uri_c, F.concat(F.lit("R|"), val)).otherwise(
+                F.concat(F.lit("L|"), eff, F.lit("|"),
+                         F.coalesce(lang_c, F.lit("")), F.lit("|"), val))
+        else:
+            heur = val.rlike(_URI_SHAPE) | val.startswith("_:")
+            key = F.when(heur, F.concat(F.lit("R|"), val)).otherwise(
+                F.concat(F.lit(f"L|{XSD_STRING}||"), val))
+        return F.when(val.isNotNull(), key)
+
+    def _is_numeric(self, arg, df) -> Column:
+        """isNumeric (§17.4.2.4): literal with a numeric datatype.
+        Sidecar-less bindings follow the engine's simple-literal model
+        (datatype xsd:string) → false."""
+        if arg[0] == "lit":
+            return F.lit(arg[2] in _NUMERIC_DTS)
+        if arg[0] == "iri":
+            return F.lit(False)
+        v = arg[1]
+        val = F.col(v)
+        if df is not None and _meta_col(v, "dt") in df.columns:
+            uri_c = F.coalesce(F.col(_meta_col(v, "uri")), F.lit(False))
+            num = F.coalesce(
+                F.col(_meta_col(v, "dt")).isin(list(_NUMERIC_DTS)),
+                F.lit(False))
+            return F.when(val.isNotNull(), ~uri_c & num)
+        return F.when(val.isNotNull(), F.lit(False))
+
+    def _xsd_cast(self, dt: str, col: Column) -> Column:
+        """XPath constructor cast (§17.5) in the engine's string data
+        model: validate/normalize the lexical form, NULL (error) on
+        failure.  The produced term's datatype materializes through
+        _bind_meta when the BIND target is introspected.  Lexical
+        canonical forms follow Spark's cast (e.g. double 42 → "42.0"),
+        a documented deviation from XSD canonical mapping."""
+        local = dt.rsplit("#", 1)[-1]
+        if local in ("integer", "long", "int", "short", "byte",
+                     "nonNegativeInteger", "positiveInteger",
+                     "unsignedInt", "unsignedLong"):
+            return col.try_cast("long").cast("string")
+        if local in ("decimal", "double", "float"):
+            return col.try_cast("double").cast("string")
+        if local == "string":
+            return col.cast("string")
+        if local == "boolean":
+            return (F.when(col.isin("true", "1"), F.lit("true"))
+                    .when(col.isin("false", "0"), F.lit("false"))
+                    .otherwise(F.lit(None).cast("string")))
+        if local in ("dateTime", "date"):
+            shape = (r"^-?\d{4,}-\d{2}-\d{2}" +
+                     (r"[T ]\d{2}:\d{2}:\d{2}" if local == "dateTime"
+                      else r"$"))
+            return F.when(col.rlike(shape), col)
+        raise ValueError(f"unsupported constructor cast <{dt}>")
+
+    def _now_lit(self) -> str:
+        """NOW(): one timestamp per engine call (query/update), per
+        §17.4.5.1 'the same value for the entire query execution'."""
+        if getattr(self, "_now", None) is None:
+            from datetime import datetime, timezone
+            self._now = datetime.now(timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        return self._now
 
     def _bind_if_exists(self, df, bound, expr, var) -> DataFrame:
         """``BIND(IF(EXISTS{...}, t, f) AS ?v)`` per-row: left-join a

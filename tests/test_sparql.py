@@ -11,7 +11,8 @@ from kgraphmemory_spark.sparql import SparqlEngine
 KG = "http://vital.ai/ontology/haley-ai-kg#"
 VC = "http://vital.ai/ontology/vital-core#"
 RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_DT = XSD + "dateTime"
 
 P = ("PREFIX kg: <http://vital.ai/ontology/haley-ai-kg#>\n"
      "PREFIX vital-core: <http://vital.ai/ontology/vital-core#>\n")
@@ -411,8 +412,6 @@ def test_subquery(eng):
 
 
 def test_unsupported_constructs_raise(eng):
-    with pytest.raises(ValueError, match="nondeterministic"):
-        eng.query("SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > NOW()) }")
     with pytest.raises(ValueError, match="IRIs"):
         eng.query("SELECT ?s WHERE { ?s !(<urn:a>|?p) ?o }")
     with pytest.raises(ValueError, match="paths"):
@@ -664,6 +663,41 @@ def test_update_with_graph(spark):
     # WITH + DELETE WHERE shorthand stays graph-scoped
     out3 = eng.update("WITH <g2> DELETE WHERE { ?s <urn:p> ?o }")
     assert {(r["object"], r["graph"]) for r in out3.collect()} == {("x", "g1")}
+
+
+def test_update_insert_where_and_using(spark):
+    """Modify-form coverage beyond WITH: the plain ``INSERT {} WHERE {}``
+    op and ``USING [NAMED]`` dataset clauses (SPARQL 1.1 Update §3.1.3;
+    pyoxigraph accepts all of these via store.update,
+    reference kgraph_rdf_db.py:342-357)."""
+    rows = [("urn:e1", "urn:p", "x", None, None, "g1"),
+            ("urn:e2", "urn:p", "x", None, None, "g2"),
+            ("urn:e3", "urn:p", "x", None, None, None)]
+    eng = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    # plain INSERT-WHERE: ungraphed WHERE matches the union graph
+    out = eng.update('INSERT { ?s <urn:q> "m" } WHERE { ?s <urn:p> "x" }')
+    assert {r["subject"] for r in out.collect()
+            if r["predicate"] == "urn:q"} == {"urn:e1", "urn:e2", "urn:e3"}
+    # USING <g1>: WHERE's default graph is g1 only
+    out = eng.update(
+        'INSERT { ?s <urn:q> "m" } USING <g1> WHERE { ?s <urn:p> "x" }')
+    assert {r["subject"] for r in out.collect()
+            if r["predicate"] == "urn:q"} == {"urn:e1"}
+    # WITH + USING: USING overrides WITH for WHERE, WITH still scopes
+    # the template quads (§3.1.3)
+    out = eng.update('WITH <g9> INSERT { ?s <urn:q> "m" } '
+                     'USING <g2> WHERE { ?s <urn:p> "x" }')
+    assert {(r["subject"], r["graph"]) for r in out.collect()
+            if r["predicate"] == "urn:q"} == {("urn:e2", "g9")}
+    # USING NAMED feeds GRAPH ?g; repeated USING merges the default set
+    out = eng.update('DELETE { ?s <urn:p> "x" } USING NAMED <g2> '
+                     'WHERE { GRAPH ?g { ?s <urn:p> "x" } }')
+    assert {(r["subject"], r["graph"]) for r in out.collect()} == {
+        ("urn:e1", "g1"), ("urn:e3", None)}
+    out = eng.update('DELETE { ?s <urn:p> "x" } INSERT { ?s <urn:p> "y" } '
+                     'USING <g1> USING <g2> WHERE { ?s <urn:p> "x" }')
+    assert {(r["subject"], r["object"]) for r in out.collect()} == {
+        ("urn:e1", "y"), ("urn:e2", "y"), ("urn:e3", "x")}
 
 
 def test_update_rejects_vars_in_data(spark):
@@ -1157,3 +1191,57 @@ def test_blank_node_subject_introspection(spark):
            WHERE { ?s <urn:p> ?o . }""").collect()}
     assert got == {("_:b1", True, False, False),
                    ("urn:s", False, True, False)}
+
+
+def test_sameterm_isnumeric_timezone(spark):
+    """Round-4 builtin closure: sameTerm / isNumeric over the metadata
+    sidecars, TIMEZONE as canonical xsd:dayTimeDuration, and bare
+    FILTER BuiltInCall (no wrapping parens, grammar rule [69])."""
+    rows = [("urn:a", "urn:q", "3.5", XSD + "decimal", None, None),
+            ("urn:b", "urn:q", "hello", None, None, None),
+            ("urn:c", "urn:q", "hello", None, "en", None)]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    q = 'SELECT ?s WHERE { ?s <urn:q> ?o FILTER sameTerm(?o, %s) }'
+    assert {r.s for r in eng2.query(q % '"hello"').collect()} == {"urn:b"}
+    assert {r.s for r in eng2.query(q % '"hello"@en').collect()} == {"urn:c"}
+    assert {r.s for r in eng2.query(
+        q % f'"3.5"^^<{XSD}decimal>').collect()} == {"urn:a"}
+    assert {r.s for r in eng2.query(
+        "SELECT ?s WHERE { ?s <urn:q> ?o FILTER isNumeric(?o) }"
+    ).collect()} == {"urn:a"}
+    got = eng2.query(
+        f'SELECT (TIMEZONE("2011-01-10T14:45:13.815-05:00"^^<{XSD}dateTime>)'
+        ' AS ?m) '
+        f'(TIMEZONE("2011-01-10T14:45:13Z"^^<{XSD}dateTime>) AS ?z) '
+        f'(TIMEZONE("2011-01-10T14:45:13+05:30"^^<{XSD}dateTime>) AS ?p) '
+        f'(TIMEZONE("2011-01-10T14:45:13"^^<{XSD}dateTime>) AS ?none) '
+        'WHERE { <urn:a> <urn:q> ?o }').collect()[0]
+    assert (got.m, got.z, got.p, got.none) == ("-PT5H", "PT0S", "PT5H30M",
+                                               None)
+
+
+def test_constructor_casts_and_nondeterministic(spark):
+    """XPath constructor casts produce normalized lexical forms (and a
+    datatype sidecar for introspection); NOW/RAND/UUID/STRUUID/BNODE
+    evaluate (NOW fixed per engine call per spec §17.4.5.1)."""
+    rows = [("urn:a", "urn:q", "x", None, None, None)]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    pre = f"PREFIX xsd: <{XSD}>\n"
+    got = eng2.query(pre + '''SELECT (xsd:integer("42") AS ?i)
+        (xsd:integer("4.2") AS ?bad) (xsd:boolean("1") AS ?b)
+        (xsd:double("2.5") AS ?d) (xsd:string(7) AS ?s)
+        WHERE { <urn:a> <urn:q> ?o }''').collect()[0]
+    assert (got.i, got.bad, got.b, got.d, got.s) == (
+        "42", None, "true", "2.5", "7")
+    got = eng2.query(pre + '''SELECT (DATATYPE(?i) AS ?dt)
+        WHERE { <urn:a> <urn:q> ?o BIND(xsd:integer("7") AS ?i) }
+        ''').collect()[0]
+    assert got.dt == XSD + "integer"
+    row = eng2.query('''SELECT (NOW() AS ?n) (NOW() AS ?n2)
+        (STRUUID() AS ?u) (UUID() AS ?iri) (RAND() AS ?r) (BNODE() AS ?bn)
+        WHERE { <urn:a> <urn:q> ?o }''').collect()[0]
+    assert row.n == row.n2 and row.n.endswith("Z")      # fixed per query
+    assert len(row.u) == 36 and row.iri.startswith("urn:uuid:")
+    assert 0.0 <= row.r < 1.0 and row.bn.startswith("_:")
+    with pytest.raises(ValueError, match="arity"):
+        eng2.query('SELECT (BNODE("x") AS ?b) WHERE { ?s ?p ?o }')
