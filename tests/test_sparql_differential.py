@@ -145,6 +145,16 @@ def _eval_filter(flt, mu):
                 return t != ""
             return t == rhs.lower() or t.startswith(rhs.lower() + "-")
         return (dt or (RDF_LS if lang_ else XSD_STRING_DT)) == rhs
+    if op == "sameterm":
+        # value→metadata is a bijection in this dataset, so term
+        # identity degenerates to value equality for the naive side;
+        # the ENGINE computes it from sidecars — that asymmetry is the
+        # test (sidecar propagation through joins/optional/union)
+        return v == rhs
+    if op == "isnumeric":
+        dt, _lang, ref = _meta_of(v)
+        isnum = (not ref) and dt == XSD_INT
+        return isnum if rhs else not isnum
     if op == "contains":
         return rhs in v
     if numeric:
@@ -296,17 +306,25 @@ def _gen_query(rng: random.Random):
         elif r2 < 0.45 or not pat_bound:
             filters.append((rng.choice(("=", "!=", "contains")), var,
                             rng.choice(LITS + IRIS + ["a"]), False))
-        elif r2 < 0.65:
+        elif r2 < 0.6:
             filters.append(("lang", rng.choice(pat_bound),
                             rng.choice(["en", "fr", "de", "es", "*"]),
                             False))
-        elif r2 < 0.85:
+        elif r2 < 0.72:
             filters.append(("isiri", rng.choice(pat_bound),
                             rng.random() < 0.5, False))
-        else:
+        elif r2 < 0.82:
             filters.append(("dtype", rng.choice(pat_bound),
                             rng.choice([XSD_INT, XSD_STRING_DT, RDF_LS]),
                             False))
+        elif r2 < 0.92:
+            filters.append(("sameterm", rng.choice(pat_bound),
+                            rng.choice(LITS + IRIS + sorted(TAGGED)
+                                       + [str(rng.randint(0, 9))]),
+                            False))
+        else:
+            filters.append(("isnumeric", rng.choice(pat_bound),
+                            rng.random() < 0.5, False))
     projable = sorted(bound | ({"z"} if optional else set()))
     k = rng.randint(1, len(projable))
     proj = sorted(rng.sample(projable, k))
@@ -342,6 +360,19 @@ def _to_text(q):
                     else f"FILTER(!isIRI(?{var}))")
         if op == "dtype":
             return f"FILTER(DATATYPE(?{var}) = <{rhs}>)"
+        if op == "sameterm":
+            if rhs.startswith("urn:"):
+                r = f"<{rhs}>"
+            elif rhs.isdigit():
+                r = f'"{rhs}"^^<{XSD_INT}>'
+            elif rhs in TAGGED:
+                r = f'"{rhs}"@{TAGGED[rhs]}'
+            else:
+                r = f'"{rhs}"'
+            return f"FILTER(sameTerm(?{var}, {r}))"
+        if op == "isnumeric":
+            return (f"FILTER(isNumeric(?{var}))" if rhs
+                    else f"FILTER(!isNumeric(?{var}))")
         r = rhs if numeric else (f"<{rhs}>" if rhs.startswith("urn:")
                                  else f'"{rhs}"')
         return f"FILTER(?{var} {op} {r})"
@@ -370,7 +401,7 @@ def _sort_key(tup):
 
 # ------------------------------------------------------------- the test
 
-@pytest.mark.parametrize("seed", [7, 11, 23, 47, 101])
+@pytest.mark.parametrize("seed", [7, 11, 23, 47, 101, 211, 499])
 def test_sparql_differential_battery(spark, seed):
     rng = random.Random(seed)
     rows = _data(rng)
