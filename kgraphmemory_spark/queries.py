@@ -1839,6 +1839,79 @@ def q_t5(spark, sf):
     )
 
 
+# ---- corpus curation family (operators/corpus.py, late round 4) ----------
+
+@register("t6_domain_cap", """
+  WITH en AS (SELECT doc_id, source FROM documents WHERE lang = 'en'),
+  r AS (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM en)
+  SELECT doc_id, source FROM r WHERE rn <= 10
+""")
+def q_t6(spark, sf):
+    """Per-domain document cap (corpus curation): keep the 10 lowest
+    doc_ids per source among English docs.  The lang predicate makes
+    per-source counts straddle the cap, so BOTH plan arms run under the
+    oracle — the sort-free under-cap pass-through and the salted
+    two-phase top-k for over-cap domains (operators/corpus.py
+    cap_per_domain; a hub domain's final sort is bounded by cap·S rows).
+    Below the certified fold; mirror-verified."""
+    from .operators.corpus import cap_per_domain
+    d = load(spark, sf, "documents").where(F.col("lang") == "en")
+    return cap_per_domain(d, "source", "doc_id", cap=10,
+                          salt_buckets=4).select("doc_id", "source")
+
+
+@register("t7_stratified_sample", """
+  SELECT doc_id, lang FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE WHEN lang = 'en' THEN '40000000'
+             WHEN lang = 'zh' THEN '80000000'
+             ELSE 'g' END
+""")
+def q_t7(spark, sf):
+    """Deterministic stratified downsampling (corpus curation): keep 25%
+    of English, 50% of Chinese, all the rest.  Keep decision is
+    substr(md5(id),1,8) < hex threshold — uniform, shuffle-free,
+    resume-safe, and bit-identical in DuckDB, so the oracle reproduces
+    the exact kept set (operators/corpus.py stratified_sample).  Below
+    the certified fold; mirror-verified."""
+    from .operators.corpus import stratified_sample
+    d = load(spark, sf, "documents")
+    return stratified_sample(d, "lang", "doc_id",
+                             {"en": 0.25, "zh": 0.5},
+                             default_rate=1.0).select("doc_id", "lang")
+
+
+@register("t8_shard_packing", """
+  WITH q AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+    FROM documents),
+  c AS (
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM q)
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(floor(cum / 2000) AS BIGINT) AS shard_ix,
+         source || '#' || CAST(CAST(floor(cum / 2000) AS BIGINT) AS VARCHAR)
+           AS shard_id
+  FROM c
+""")
+def q_t8(spark, sf):
+    """Token-budget shard packing (corpus curation): greedy streaming
+    fill — docs ordered by doc_id within each source partition, shard_ix
+    = floor(tokens_before / 2000).  ONE shuffle; every writer partition
+    packs independently (operators/corpus.py pack_shards).  Below the
+    certified fold; mirror-verified."""
+    from .operators.corpus import pack_shards
+    d = load(spark, sf, "documents")
+    return pack_shards(d, "source", "doc_id", "text", 2000).select(
+        "doc_id", "n_tokens", "shard_ix", "shard_id")
+
+
 # ===================== chat / interaction surface (round 2) ================
 
 _SQL_MESSAGES = """
