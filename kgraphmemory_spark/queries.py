@@ -1912,6 +1912,81 @@ def q_t8(spark, sf):
         "doc_id", "n_tokens", "shard_ix", "shard_id")
 
 
+@register("t9_url_normalize", """
+  WITH m AS (
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0 THEN
+             'HTTP://WWW.' || upper(source) || '.Example.COM:80//A/b/'
+               || CAST(doc_id AS VARCHAR) || '?z=1&a=2#frag'
+           WHEN doc_id % 3 = 1 THEN 'https://' || source || '.example.com:443'
+           ELSE 'https://user@' || source || '.CDN.example.com:8443/path/'
+               || CAST(doc_id AS VARCHAR) || '?b=2&b=1'
+      END AS u
+    FROM documents),
+  p AS (
+    SELECT doc_id, u,
+      lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+    FROM m),
+  c AS (
+    SELECT doc_id, u, scheme,
+      regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+      regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                     '^([^?#]*)', 1) AS path,
+      array_to_string(list_sort(string_split(
+        regexp_extract(regexp_replace(rest, '#.*$', ''),
+                       '\\?(.*)$', 1), '&')), '&') AS q
+    FROM p),
+  h AS (
+    SELECT doc_id, u, scheme, path, q,
+      CASE WHEN scheme = 'http'
+             THEN regexp_replace(lower(hostport), ':80$', '')
+           WHEN scheme = 'https'
+             THEN regexp_replace(lower(hostport), ':443$', '')
+           ELSE lower(hostport) END AS hp_norm,
+      lower(regexp_replace(regexp_replace(hostport, '^[^@]*@', ''),
+                           ':[0-9]*$', '')) AS host
+    FROM c)
+  SELECT doc_id,
+         scheme || '://' || hp_norm
+           || (CASE WHEN path = '' THEN '/' ELSE path END)
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm,
+         host,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 0) AS domain
+  FROM h
+""")
+def q_t9(spark, sf):
+    """URL canonicalization (functions/urls.py): messy spellings of the
+    same page — case-variant scheme/host, default ports, fragments,
+    shuffled and duplicate query params, userinfo, empty paths — mapped
+    to one canonical key.  The DuckDB twin reimplements the whole rule
+    set independently in SQL (a true differential, not a transliteration
+    of the Spark expressions).  Below the certified fold;
+    mirror-verified."""
+    from .functions import urls as U
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    messy = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("HTTP://WWW."), F.upper("source"),
+                        F.lit(".Example.COM:80//A/b/"), did,
+                        F.lit("?z=1&a=2#frag")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.com:443")))
+        .otherwise(
+            F.concat(F.lit("https://user@"), F.col("source"),
+                     F.lit(".CDN.example.com:8443/path/"), did,
+                     F.lit("?b=2&b=1")))
+    )
+    u = d.select("doc_id", messy.alias("u"))
+    return u.select(
+        "doc_id",
+        U.normalize_url(F.col("u")).alias("url_norm"),
+        U.url_host(F.col("u")).alias("host"),
+        U.registrable_domain(F.col("u")).alias("domain"))
+
+
 # ===================== chat / interaction surface (round 2) ================
 
 _SQL_MESSAGES = """
