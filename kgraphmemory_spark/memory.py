@@ -131,17 +131,25 @@ class ManagedGraph:
         # add_objects-fed graphs query through ManagedGraph.vector_search
         return KGraphView(kg)
 
+    # -- SPARQL over this graph; every sibling graph is registered as a
+    #    SERVICE endpoint under its graph_uri, so
+    #    ``SERVICE <other-uri> { ... }`` federates across memories
+    #    in one plan (in-process Federated Query, sparql.py) -------------
     def sparql_query(self, query: str) -> DataFrame:
         from .sparql import SparqlEngine
-        return SparqlEngine(self.triples).query(query)
+        return SparqlEngine(self.triples,
+                            services=self.memory.service_map()).query(query)
 
     def sparql_ask(self, query: str) -> bool:
         from .sparql import SparqlEngine
-        return SparqlEngine(self.triples).ask(query)
+        return SparqlEngine(self.triples,
+                            services=self.memory.service_map()).ask(query)
 
     def sparql_construct(self, query: str) -> DataFrame:
         from .sparql import SparqlEngine
-        return SparqlEngine(self.triples).construct(query)
+        return SparqlEngine(
+            self.triples,
+            services=self.memory.service_map()).construct(query)
 
     def vector_search(self, query_text: str | None = None, limit: int = 10,
                       vector_id: str | None = None,
@@ -228,6 +236,14 @@ class KGraphMemory:
 
     def list_graphs(self) -> list[str]:
         return list(self._registry)
+
+    def service_map(self) -> dict:
+        """SERVICE endpoint registry for in-process federation: every
+        managed graph's triple table under its graph_uri (each one a
+        partition-pruned view of the shared store — building the map is
+        metadata-only, nothing materializes until a query uses it)."""
+        return {uri: ManagedGraph(self, gid, uri).triples
+                for gid, uri in self._registry.items()}
 
     def has_graph(self, graph_id: str) -> bool:
         return graph_id in self._registry

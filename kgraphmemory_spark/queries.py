@@ -2444,6 +2444,46 @@ def q_sparql_describe(spark, sf):
         "DESCRIBE ?f WHERE { ?f a <urn:frame:next> . } ORDER BY ?f LIMIT 20")
 
 
+@register("sparql_service_federation", f"""
+  WITH ents AS ({SQL_ENTITIES}),
+  m AS (SELECT DISTINCT url, {_canon("entity_id")} AS eid
+        FROM ({SQL_MENTIONS}))
+  SELECT e.entity_id AS entity, e.name AS name,
+         CAST(count(*) AS BIGINT) AS ndocs
+  FROM ents e JOIN m ON m.eid = e.entity_id
+  WHERE e.entity_type = 'urn:kg:Phrase'
+  GROUP BY 1, 2 ORDER BY ndocs DESC, entity
+""")
+def q_sparql_service_federation(spark, sf):
+    """Raw-SPARQL SERVICE (Federated Query, in-process): the KG triple
+    store answers the entity patterns while a SECOND registered endpoint
+    — a mention-occurrence triple table derived from the linking stage —
+    answers the ``mentionedIn`` pattern; the engine compiles both against
+    their own tables and equi-joins the solution sets in one plan
+    (sparql.py SERVICE; the multi-graph manager wires every managed
+    graph this way, memory.py service_map).  Counts the distinct
+    documents mentioning each canonical Phrase entity."""
+    from .semantics import HAS_NAME
+    from .sparql import SparqlEngine
+    kg = kg_tables(spark, sf)
+    mentions = kg.linked.select(
+        F.col("canonical_id").alias("subject"),
+        F.lit("urn:prop:mentionedIn").alias("predicate"),
+        F.col("url").alias("object"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("urn:graph:mentions").alias("graph"))
+    eng = SparqlEngine(kg.triples,
+                       services={"urn:svc:mentions": mentions})
+    return eng.query(f"""SELECT ?entity ?name
+            (COUNT(DISTINCT ?doc) AS ?ndocs) WHERE {{
+        ?entity a <urn:kg:Phrase> .
+        ?entity <{HAS_NAME}> ?name .
+        SERVICE <urn:svc:mentions> {{
+            ?entity <urn:prop:mentionedIn> ?doc . }}
+      }} GROUP BY ?entity ?name ORDER BY DESC(?ndocs) ?entity""")
+
+
 # ===================== as-of join + graph analytics =======================
 
 @register("w5_asof_join", """

@@ -119,9 +119,19 @@ call, §17.4.5.1) / ``RAND`` / ``UUID`` / ``STRUUID`` / ``BNODE()``,
 bare ``FILTER BuiltInCall`` without parens, UPDATE's plain
 ``INSERT {} WHERE {}`` op and ``USING [NAMED]`` dataset clauses.
 
-Not supported (raises): paths in CONSTRUCT/update templates, SERVICE,
-``BNODE(?str)`` (the 0-arg form works). IRI() over a *computed*
-string does not re-resolve against BASE.
+``SERVICE [SILENT] <iri> { ... }`` federates IN-PROCESS: the engine
+has no network, so endpoints are registered triple tables
+(``SparqlEngine(services={iri: df})``; the multi-graph manager
+registers every managed graph automatically) — the pattern compiles
+against the endpoint's own table and joins the outer solutions on the
+shared variables; SILENT turns an unknown endpoint into the unit
+solution per §2.4.
+
+Not supported (raises): paths in CONSTRUCT/update templates (the
+SPARQL grammar itself restricts templates to triples), ``SERVICE
+?var`` (implementation-defined, §2.5), ``BNODE(?str)`` (the 0-arg
+form works). IRI() over a *computed* string does not re-resolve
+against BASE.
 """
 
 from __future__ import annotations
@@ -551,6 +561,20 @@ class _Parser:
                 sub = self._group(gterm)
                 g.subgroups.append(sub)
                 g.elements.append(("subgroup", sub))
+            elif self._kw("SERVICE"):
+                # SPARQL 1.1 Federated Query: the pattern evaluates
+                # against the endpoint's own dataset, so the inner group
+                # parses with NO ambient graph term and the FROM/WITH
+                # graph rewrites never descend into it
+                silent = self._kw("SILENT")
+                t = self._term()
+                if t[0] != "iri":
+                    raise ValueError(
+                        "SERVICE endpoint must be an IRI (variable "
+                        "endpoints are implementation-defined, §2.5, "
+                        "and not supported)")
+                g.elements.append(("service", (silent, t[1],
+                                               self._group(None))))
             elif self._at("op", "{") and self._peek(1)[0] == "word" \
                     and self._peek(1)[1].upper() == "SELECT":
                 # subquery: { SELECT ... } — evaluated independently,
@@ -1080,6 +1104,9 @@ class _Parser:
         g.patterns = [fix(p) for p in g.patterns]
         out = []
         for kind, payload in g.elements:
+            # "service" payloads pass through UNREWRITTEN by design: a
+            # federated pattern evaluates against the endpoint's own
+            # dataset, outside the query's FROM/WITH scope
             if kind == "pattern":
                 payload = fix(payload)
             elif kind in ("optional", "subgroup", "minus"):
@@ -1247,9 +1274,15 @@ class SparqlEngine:
     graph]) — the shape every store/pipeline table in this engine
     shares."""
 
-    def __init__(self, triples: DataFrame):
+    def __init__(self, triples: DataFrame,
+                 services: dict[str, DataFrame] | None = None):
         self.triples = triples
         self.cols = set(triples.columns)
+        # SERVICE endpoint registry: IRI → that service's triple table
+        # (in-process federation — the engine has no network; the
+        # multi-graph manager registers every managed graph here so
+        # SERVICE <graph-uri> { ... } federates across memories)
+        self.services = services or {}
         self._meta: set = frozenset()
         # observability: after a query with a +/* path, carries
         # {'rounds': N} from the frontier-expansion closure — the bench
@@ -1945,6 +1978,31 @@ class SparqlEngine:
                 df, bound = self._join(df, bound, scan, vars_)
             elif kind == "subgroup":
                 sdf, svars = self._group(payload)
+                df, bound = self._join(df, bound, sdf, svars)
+            elif kind == "service":
+                # SPARQL 1.1 Federated Query (in-process): compile the
+                # pattern against the registered endpoint's OWN triple
+                # table via a child engine, then join the solution sets
+                # — shared variables become equi-join keys exactly like
+                # a subgroup, so Catalyst plans the federation join
+                # (broadcast when one side is small).  SILENT + unknown
+                # endpoint = the unit solution (§2.4: join identity).
+                silent, iri, sub = payload
+                src = self.services.get(iri)
+                if src is None:
+                    if not silent:
+                        raise ValueError(
+                            f"unknown SERVICE endpoint <{iri}> — "
+                            "register its triple table in "
+                            "SparqlEngine(services={iri: df}) (the "
+                            "multi-graph manager does this for every "
+                            "managed graph)")
+                    continue
+                child = SparqlEngine(src, services=self.services)
+                child._meta = self._meta
+                child._now = getattr(self, "_now", None)
+                child.closure_stats = self.closure_stats
+                sdf, svars = child._group(sub)
                 df, bound = self._join(df, bound, sdf, svars)
             elif kind == "subselect":
                 sdf = self._select(payload)

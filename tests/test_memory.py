@@ -141,3 +141,34 @@ def test_register_pipeline_tables(spark):
     g2 = m.create_graph("raw", "urn:graph:raw")
     with pytest.raises(ValueError, match="raw triples only"):
         g2.view()
+
+
+def test_sparql_service_across_graphs(mem):
+    """Every managed graph is a SERVICE endpoint under its graph_uri —
+    one SPARQL string federates across memories in one plan (in-process
+    Federated Query, sparql.py; the reference's manager has no
+    cross-graph query at all, kgraph_memory.py:8-270)."""
+    a = mem.get_graph("site-a")
+    rows = a.sparql_query('''
+        SELECT ?pname ?dname WHERE {
+            ?p <urn:prop:name> ?pname .
+            SERVICE <urn:graph:site-b> {
+                ?d a <urn:kg:Document> .
+                ?d <urn:prop:name> ?dname .
+            }
+        } ORDER BY ?pname''').collect()
+    assert [(r.pname, r.dname) for r in rows] == [
+        ("Ada Lovelace", "Analytical Engine notes"),
+        ("Alan Turing", "Analytical Engine notes")]
+    # endpoint registry follows the live registry: removed graph → SILENT
+    # federates to the unit solution, non-SILENT raises
+    assert "urn:graph:site-b" in mem.service_map()
+    mem.remove_graph("site-b")
+    assert "urn:graph:site-b" not in mem.service_map()
+    a = mem.get_graph("site-a")
+    rows = a.sparql_query('''
+        SELECT ?pname WHERE {
+            ?p <urn:prop:name> ?pname .
+            SERVICE SILENT <urn:graph:site-b> { ?d ?q ?z }
+        }''').collect()
+    assert len(rows) == 2

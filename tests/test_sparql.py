@@ -1245,3 +1245,70 @@ def test_constructor_casts_and_nondeterministic(spark):
     assert 0.0 <= row.r < 1.0 and row.bn.startswith("_:")
     with pytest.raises(ValueError, match="arity"):
         eng2.query('SELECT (BNODE("x") AS ?b) WHERE { ?s ?p ?o }')
+
+
+def test_service_federation(spark):
+    """SERVICE <iri> { ... } compiles the pattern against the registered
+    endpoint's own triple table and equi-joins the outer solutions on the
+    shared variables (SPARQL 1.1 Federated Query, in-process)."""
+    local = [("urn:e1", "urn:name", "Alpha", None, None, None),
+             ("urn:e2", "urn:name", "Beta", None, None, None)]
+    remote = [("urn:e1", "urn:score", "9", None, None, None),
+              ("urn:e3", "urn:score", "4", None, None, None)]
+    eng2 = SparqlEngine(
+        spark.createDataFrame(local, SCHEMA),
+        services={"urn:svc:scores": spark.createDataFrame(remote, SCHEMA)})
+    got = eng2.query('''SELECT ?n ?sc WHERE {
+        ?e <urn:name> ?n .
+        SERVICE <urn:svc:scores> { ?e <urn:score> ?sc }
+    }''').collect()
+    assert [(r.n, r.sc) for r in got] == [("Alpha", "9")]
+    # OPTIONAL around SERVICE keeps unmatched outer rows
+    got = eng2.query('''SELECT ?n ?sc WHERE {
+        ?e <urn:name> ?n .
+        OPTIONAL { SERVICE <urn:svc:scores> { ?e <urn:score> ?sc } }
+    } ORDER BY ?n''').collect()
+    assert [(r.n, r.sc) for r in got] == [("Alpha", "9"), ("Beta", None)]
+
+
+def test_service_silent_and_errors(spark):
+    rows = [("urn:a", "urn:p", "x", None, None, None)]
+    eng2 = SparqlEngine(spark.createDataFrame(rows, SCHEMA))
+    # unknown endpoint: SILENT = unit solution (join identity), the
+    # surrounding pattern survives untouched
+    got = eng2.query('''SELECT ?o WHERE {
+        <urn:a> <urn:p> ?o .
+        SERVICE SILENT <urn:svc:gone> { ?o <urn:q> ?z }
+    }''').collect()
+    assert [r.o for r in got] == ["x"]
+    with pytest.raises(ValueError, match="unknown SERVICE endpoint"):
+        eng2.query('''SELECT ?o WHERE {
+            SERVICE <urn:svc:gone> { ?s ?p ?o } }''').collect()
+    with pytest.raises(ValueError, match="SERVICE endpoint must be"):
+        eng2.query('SELECT ?o WHERE { SERVICE ?ep { ?s ?p ?o } }')
+
+
+def test_service_own_dataset_outside_from_scope(spark):
+    """A FROM dataset clause scopes the OUTER pattern only — the SERVICE
+    pattern evaluates against the endpoint's own table (§13.2 vs
+    Federated Query: the rewrite must not descend into SERVICE)."""
+    local = [("urn:a", "urn:p", "urn:b", None, None, "urn:g1"),
+             ("urn:a", "urn:p", "urn:c", None, None, "urn:g2")]
+    remote = [("urn:b", "urn:q", "hit", None, None, "urn:other")]
+    eng2 = SparqlEngine(
+        spark.createDataFrame(local, SCHEMA),
+        services={"urn:svc": spark.createDataFrame(remote, SCHEMA)})
+    got = eng2.query('''SELECT ?v WHERE {
+        ?s <urn:p> ?o .
+        SERVICE <urn:svc> { ?o <urn:q> ?v }
+    }''').collect()
+    # without FROM: g1 row joins remote (graph 'urn:other' still visible
+    # inside the service — its dataset, not ours)
+    assert [r.v for r in got] == ["hit"]
+    got = eng2.query('''SELECT ?v FROM <urn:g2> WHERE {
+        ?s <urn:p> ?o .
+        SERVICE <urn:svc> { ?o <urn:q> ?v }
+    }''').collect()
+    # FROM <urn:g2> filters the OUTER scan to ?o=urn:c (no remote match)
+    # while the service side is untouched by the dataset rewrite
+    assert got == []
