@@ -2725,9 +2725,21 @@ _CERTIFIED_WINDOW = [
     "j2_frame_slots", "sparql_frame_construct", "j6_semi_exists",
     "j7_anti_not_exists", "j11_salted_linking", "x1_multigraph_stats",
     "ja_census_linked",
-    # aggregations / windows / sets
-    "a1_tpch_q1", "a5_group_concat", "a8_pivot", "a9_first_wins",
-    "w3_running_sum", "w5_asof_join", "u3_intersect",
+    # aggregations / windows / sets.  Final round-4 rotation, two NEW
+    # families in, two transitively-certified shapes out:
+    #   a9_first_wins → t6_domain_cap: A9's min-over-struct first-wins
+    #     hash agg is EXACTLY the W2 ranker inside the certified
+    #     kg_linked row (operators/linking.py best-candidate pick), so
+    #     first-wins stays driver-certified; t6 adds the corpus-curation
+    #     family (salted per-domain cap, both plan arms exercised) that
+    #     previously had no certified row.
+    #   u3_intersect → sparql_service_federation: INTERSECT lowers to an
+    #     all-column semi-join, certified via j6_semi_exists; the other
+    #     set-ops stay certified (U2 via c3, J10 union via x1, UNION via
+    #     sparql_path_reach's alternation arm); SERVICE federation over
+    #     registered graphs is a new capability no other row exercises.
+    "a1_tpch_q1", "a5_group_concat", "a8_pivot", "t6_domain_cap",
+    "w3_running_sum", "w5_asof_join", "sparql_service_federation",
     # graph analytics (BFS hops; pagerank mirror-checked below the fold)
     "g1_shortest_hops",
     # typed task facade (tool1 below the fold — see rotation note above)
