@@ -678,6 +678,7 @@ def main() -> None:
             "local16_reps": reps_4n,
             "raw_triples": n_raw,
             "triples_per_sec_16c": round(n_raw / t_4n, 1),
+            "docs_per_sec_16c": round(scaling_pages / t_4n, 1),
             "speedup_n_to_4n": round(t_n / t_4n, 3),
             "efficiency": eff,
             "idle_gates": gates,
@@ -728,28 +729,42 @@ def main() -> None:
         pass
     print("DETAIL " + json.dumps(result))
 
+    print(json.dumps(_final_headline(result, extra)))
+
+
+def _final_headline(result: dict, extra: dict) -> dict:
+    """The LAST stdout line the driver parses (BENCH_r03 regression).
+
+    Contract (guarded by tests/test_bench_headline.py): valid JSON,
+    rep-free, well under any plausible tail-capture window, carries the
+    per-query times plus a compact scaling summary — and NEVER raises,
+    whatever shape the scaling section left behind (success, error dict,
+    or absent under --no-scaling).
+    """
     headline = _compact_headline(result, extra)
     if "scaling" in result and "error" in result["scaling"]:
         # failed scaling section: surface the error in the headline but
-        # never let its missing keys crash the final-line print below
+        # never let its missing keys crash the final-line print
         headline["scaling"] = dict(result["scaling"])
     elif "scaling" in result:
         s = result["scaling"]
         headline["scaling"] = {
-            "pages": s["pages"],
-            "local4_sec": s["local4_sec"],
-            "local16_sec": s["local16_sec"],
-            "raw_triples": s["raw_triples"],
-            "triples_per_sec_16c": s["triples_per_sec_16c"],
-            "speedup_n_to_4n": s["speedup_n_to_4n"],
-            "efficiency": s["efficiency"],
+            "pages": s.get("pages"),
+            "local4_sec": s.get("local4_sec"),
+            "local16_sec": s.get("local16_sec"),
+            "raw_triples": s.get("raw_triples"),
+            "triples_per_sec_16c": s.get("triples_per_sec_16c"),
+            "docs_per_sec_16c": s.get("docs_per_sec_16c"),
+            "speedup_n_to_4n": s.get("speedup_n_to_4n"),
+            "efficiency": s.get("efficiency"),
             "hardware_efficiency_probe":
-                s["cpu_probe"]["hardware_efficiency"],
-            "n_reps": [len(s["local4_reps"]), len(s["local16_reps"])],
+                s.get("cpu_probe", {}).get("hardware_efficiency"),
+            "n_reps": [len(s.get("local4_reps", [])),
+                       len(s.get("local16_reps", []))],
             "detail": "per-rep arrays + methodology in BENCH_DETAIL.json "
                       "and the earlier DETAIL stdout line",
         }
-    print(json.dumps(headline))
+    return headline
 
 
 def _compact_headline(result: dict, extra: dict) -> dict:
