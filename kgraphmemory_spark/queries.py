@@ -1585,6 +1585,14 @@ _M3_BINS = ", ".join(
     f"1.0 * sum(CASE WHEN bin = {k} THEN 1 ELSE 0 END) / count(*)"
     for k in range(8))
 
+# Census (certified-window) variant: the same 8 bins projected as SCALAR
+# columns f0..f7 — the driver's pandas canonicalizer cannot factorize
+# array<double> cells (round-4 red row), so certified entries must be
+# array-free; m3's array form stays below the fold.
+_M3_SCALAR_BINS = ", ".join(
+    f"1.0 * sum(CASE WHEN bin = {k} THEN 1 ELSE 0 END) / count(*) AS f{k}"
+    for k in range(8))
+
 
 @register("m3_media_features", f"""
   WITH b AS (
@@ -1622,10 +1630,11 @@ def q_m3(spark, sf):
     SELECT doc_id, ord(substr(text, i + 1, 1)) // 32 AS bin
     FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
           FROM documents)),
-  feat AS (SELECT doc_id, [{_M3_BINS}] AS feature FROM b GROUP BY doc_id)
+  feat AS (SELECT doc_id, {_M3_SCALAR_BINS} FROM b GROUP BY doc_id)
   SELECT dec.doc_id, dec.media_type, dec.width, dec.height,
          dec.n_payload_bytes, dec.payload_sha,
-         coalesce(fr.n_sampled, 0) AS n_sampled, feat.feature
+         coalesce(fr.n_sampled, 0) AS n_sampled,
+         {", ".join(f"feat.f{k}" for k in range(8))}
   FROM dec JOIN feat USING (doc_id) LEFT JOIN fr USING (doc_id)
 """)
 def q_m_census(spark, sf):
@@ -1633,25 +1642,28 @@ def q_m_census(spark, sf):
     row per document — decode (m1: binary container → typed metadata),
     video frame sampling (m2: every-4th-frame count, left-joined so
     images/audio keep n_sampled = 0), and feature extraction (m3:
-    L1-normalized byte histogram), all Arrow-batched mapInPandas over
-    the same synthetic media table (operators/multimodal.py; real codec
-    backends are documented guard-stubs).  The three branches re-scan
-    the same input — at scale you'd materialize synth_media once and
-    fan out; they stay separate plans here because each IS the operator
-    under test.  Certified-window member: one slot driver-certifies
-    decode+sample+features; the per-op twins m1/m2/m3 stay below the
-    fold for isolation."""
+    L1-normalized byte histogram, projected as SCALAR f0..f7 — the
+    driver's pandas canonicalizer cannot hash array<double> cells, so
+    the certified row is array-free; m3's array form stays below the
+    fold), all Arrow-batched mapInPandas over the same synthetic media
+    table (operators/multimodal.py; real codec backends are documented
+    guard-stubs).  synth_media is localCheckpointed ONCE and the three
+    operator branches fan out from it — the materialize-once shape
+    you'd use at scale.  Certified-window member: one slot
+    driver-certifies decode+sample+features; the per-op twins m1/m2/m3
+    stay below the fold for isolation."""
     from .operators.multimodal import (
         decode_media,
         extract_features,
         sample_frames,
         synth_media,
     )
-    media = synth_media(load(spark, sf, "documents"))
+    media = synth_media(load(spark, sf, "documents")).localCheckpoint()
     dec = decode_media(media)
     fr = (sample_frames(media, every_n=4)
           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled")))
-    feat = extract_features(media)
+    feat = extract_features(media).select(
+        "doc_id", *[F.col("feature")[k].alias(f"f{k}") for k in range(8)])
     return (
         dec.join(feat, "doc_id")
         .join(fr, "doc_id", "left")
@@ -2759,6 +2771,54 @@ _CERTIFIED_WINDOW = [
 ]
 
 
+# SURVEY.md §2 family → certified-window rows that keep it green.  This
+# encodes the rotation discipline documented inline above: a rotation that
+# would leave ANY family without a certified row fails `_curate` at import
+# time instead of silently dropping driver coverage (VERDICT r4 item 8).
+# A family lists every row that independently certifies it; ≥1 must stay
+# in the window.
+_FAMILY_COVERAGE = {
+    "store_crud (S1-S8,S14-S18)": [
+        "s1_object_roundtrip", "s4_remove_cascade", "s_census_store",
+        "s17_vector_crud"],
+    "rdf_io (S9-S13,S19-S20)": ["s9_nt_roundtrip"],
+    "filters (P1-P12)": ["p5_ts_range", "p10_bind_if_exists",
+                         "f_census_builtins", "s_census_store"],
+    "joins (J1-J11)": ["kg_frame_reconstruct", "j2_frame_slots",
+                       "j6_semi_exists", "j7_anti_not_exists",
+                       "j11_salted_linking", "ja_census_linked"],
+    "multigraph (J10,A7)": ["x1_multigraph_stats"],
+    "aggregates (A1-A10)": ["a1_tpch_q1", "a5_group_concat", "a8_pivot",
+                            "kg_stats"],
+    "windows (W1-W4)": ["w3_running_sum", "c2_recent_interactions",
+                        "v2_knn_filtered"],
+    "asof (W5)": ["w5_asof_join"],
+    "order_limit (O1-O5)": ["a1_tpch_q1", "v2_knn_filtered"],
+    "sets (U1-U3)": ["c3_merged_search_rerank", "sparql_path_reach",
+                     "x1_multigraph_stats"],
+    "functions (F1-F12)": ["f_census_builtins", "kg_vector_texts",
+                           "frames_typed_roundtrip"],
+    "streaming (§2.9)": ["inc1_incremental_finalize"],
+    "udf_surface (§2.10)": ["kg_docs_clean", "m_census_multimodal"],
+    "sparql_frontend": ["sparql_frame_construct", "sparql_path_reach",
+                        "sparql_service_federation"],
+    "construction_pipeline": ["kg_docs_clean", "kg_entities",
+                              "kg_relations", "kg_linked",
+                              "kg_provenance"],
+    "linking_skew": ["kg_linked", "j11_salted_linking",
+                     "kg_link_histogram"],
+    "graph_analytics": ["g1_shortest_hops", "g2_pagerank"],
+    "vectors_knn": ["v2_knn_filtered", "kg_hybrid_search"],
+    "ann_scale": ["v4_lsh_ann", "v5_ivf_ann"],
+    "dedup": ["d1_exact_dedup", "d6_lsh_dedup_classes", "d4_simhash"],
+    "text_analysis": ["t_census_text", "t5_corpus_filter"],
+    "corpus_curation": ["t6_domain_cap"],
+    "multimodal": ["m_census_multimodal"],
+    "chat": ["c2_recent_interactions", "c3_merged_search_rerank"],
+    "tasks_tools": ["task1_status_rollup"],
+}
+
+
 def _curate() -> None:
     missing = [n for n in _CERTIFIED_WINDOW if n not in QUERIES]
     assert not missing, f"certified window names unknown: {missing}"
@@ -2766,6 +2826,14 @@ def _curate() -> None:
     no_oracle = [n for n in _CERTIFIED_WINDOW if n not in ORACLES]
     assert not no_oracle, (
         f"certified entries must be oracle-paired: {no_oracle}")
+    window = set(_CERTIFIED_WINDOW)
+    unknown = [n for rows in _FAMILY_COVERAGE.values() for n in rows
+               if n not in QUERIES]
+    assert not unknown, f"family coverage names unknown: {unknown}"
+    uncovered = [fam for fam, rows in _FAMILY_COVERAGE.items()
+                 if not window.intersection(rows)]
+    assert not uncovered, (
+        f"certified window leaves §2 families uncovered: {uncovered}")
     rest = [n for n in QUERIES if n not in set(_CERTIFIED_WINDOW)]
     for n in _CERTIFIED_WINDOW + rest:
         QUERIES.move_to_end(n)

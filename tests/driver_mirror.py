@@ -28,6 +28,20 @@ def duck_conn(sf_dir: str):
     return con
 
 
+def unhashable_columns(schema) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot factorize.
+
+    The driver sorts results as a pandas DataFrame; array/map/struct
+    cells arrive as lists/dicts/Rows and pandas ``factorize`` raises
+    ``unhashable type`` (round-4 red row `m_census_multimodal`).  The
+    local mirror stringifies cells, so without this check it stays
+    green where the driver is red — certified entries must be rejected
+    here instead."""
+    from pyspark.sql import types as T
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+
+
 def normalize_cell(v):
     import datetime
     import math
@@ -76,6 +90,9 @@ def main():
     spark = get_spark(cores=8)
     con = duck_conn(sf_dir)
 
+    from kgraphmemory_spark.queries import _CERTIFIED_WINDOW
+    certified = set(_CERTIFIED_WINDOW)
+
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
@@ -84,6 +101,13 @@ def main():
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
+        if name in certified:
+            bad = unhashable_columns(sdf.schema)
+            if bad:
+                failures.append(name)
+                print(f"FAIL {name}: certified entry has array/map/struct "
+                      f"output columns the driver cannot canonicalize: {bad}")
+                continue
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         status = []
