@@ -118,3 +118,27 @@ def test_headline_partial_scaling_dict_is_crash_safe():
     parsed = json.loads(json.dumps(bench._final_headline(result, extra)))
     assert parsed["scaling"]["pages"] == 100
     assert parsed["scaling"]["n_reps"] == [0, 0]
+    # present-but-None values are as crash-prone as absent keys
+    # (len(None), None.get): the final line must survive them too
+    result, extra = _fake_result(scaling={
+        "pages": 100, "local4_reps": None, "local16_reps": None,
+        "cpu_probe": None, "efficiency": None})
+    parsed = json.loads(json.dumps(bench._final_headline(result, extra)))
+    assert parsed["scaling"]["n_reps"] == [0, 0]
+    assert parsed["scaling"]["hardware_efficiency_probe"] is None
+
+
+def test_headline_carries_battery_noise_evidence():
+    # the round-5 battery burst-resistance contract: when a query's
+    # picked rep was still externally polluted, the final line must say
+    # so next to the numbers (battery_noise), and the idle-gate result
+    # must ride along — but the per-rep battery detail must NOT leak in
+    result, extra = _fake_result(scaling=None)
+    extra["battery_gate"] = {"gate_wait_s": 12.3, "busy_cores_at_start": 1.0}
+    extra["battery_noise"] = {"cc_distributed_10m": 9.4}
+    extra["battery"] = {"cc_distributed_10m": {"reps": [{"sec": 1}] * 3}}
+    parsed = json.loads(json.dumps(bench._final_headline(result, extra)))
+    assert parsed["throughput"]["battery_noise"] == {
+        "cc_distributed_10m": 9.4}
+    assert parsed["throughput"]["battery_gate"]["gate_wait_s"] == 12.3
+    assert "battery" not in parsed["throughput"]
