@@ -568,12 +568,11 @@ class _Parser:
                 # graph rewrites never descend into it
                 silent = self._kw("SILENT")
                 t = self._term()
-                if t[0] != "iri":
+                if t[0] not in ("iri", "var"):
                     raise ValueError(
-                        "SERVICE endpoint must be an IRI (variable "
-                        "endpoints are implementation-defined, §2.5, "
-                        "and not supported)")
-                g.elements.append(("service", (silent, t[1],
+                        "SERVICE endpoint must be an IRI or a variable "
+                        f"(got {t[0]})")
+                g.elements.append(("service", (silent, t,
                                                self._group(None))))
             elif self._at("op", "{") and self._peek(1)[0] == "word" \
                     and self._peek(1)[1].upper() == "SELECT":
@@ -1987,7 +1986,56 @@ class SparqlEngine:
                 # a subgroup, so Catalyst plans the federation join
                 # (broadcast when one side is small).  SILENT + unknown
                 # endpoint = the unit solution (§2.4: join identity).
-                silent, iri, sub = payload
+                silent, ep, sub = payload
+
+                def _svc_eval(src):
+                    child = SparqlEngine(src, services=self.services)
+                    child._meta = self._meta
+                    child._now = getattr(self, "_now", None)
+                    child.closure_stats = self.closure_stats
+                    return child._group(sub)
+
+                if ep[0] == "var":
+                    # SERVICE ?ep { ... } — implementation-defined
+                    # (SPARQL 1.1 Federated Query §2.4): the variable
+                    # ranges over the REGISTERED endpoints, exactly the
+                    # in-process analog of paths under GRAPH ?var — one
+                    # compiled arm per endpoint with ?ep bound to its
+                    # IRI, arms unioned (null-filled to the common
+                    # variable set), then solution-joined, so an
+                    # already-bound ?ep prunes via the equi-join.
+                    # Sorted iteration keeps the plan deterministic.
+                    arms = []
+                    for iri in sorted(self.services):
+                        adf, avars = _svc_eval(self.services[iri])
+                        arms.append((adf.select(
+                            F.lit(iri).alias(ep[1]), "*"),
+                            avars | {ep[1]}))
+                    if not arms:
+                        # no registered endpoints: the variable has
+                        # nothing to range over — empty solution set
+                        # (join annihilator), never an error.  Compile
+                        # the pattern against an EMPTY triple table so
+                        # every inner variable is still bound (a later
+                        # projection of one must see NULL-typed columns,
+                        # not an unbound-variable error).
+                        adf, avars = _svc_eval(self.triples.limit(0))
+                        sdf = adf.select(
+                            F.lit(None).cast("string").alias(ep[1]), "*")
+                        df, bound = self._join(df, bound, sdf,
+                                               avars | {ep[1]})
+                        continue
+                    uvars = set().union(*[v for _, v in arms])
+                    parts = [adf.select(
+                        "*", *[F.lit(None).cast("string").alias(m)
+                               for m in sorted(uvars - avars)])
+                        for adf, avars in arms]
+                    sdf = parts[0]
+                    for p_ in parts[1:]:
+                        sdf = sdf.unionByName(p_, allowMissingColumns=True)
+                    df, bound = self._join(df, bound, sdf, uvars)
+                    continue
+                iri = ep[1]
                 src = self.services.get(iri)
                 if src is None:
                     if not silent:
@@ -1998,11 +2046,7 @@ class SparqlEngine:
                             "multi-graph manager does this for every "
                             "managed graph)")
                     continue
-                child = SparqlEngine(src, services=self.services)
-                child._meta = self._meta
-                child._now = getattr(self, "_now", None)
-                child.closure_stats = self.closure_stats
-                sdf, svars = child._group(sub)
+                sdf, svars = _svc_eval(src)
                 df, bound = self._join(df, bound, sdf, svars)
             elif kind == "subselect":
                 sdf = self._select(payload)

@@ -1285,7 +1285,44 @@ def test_service_silent_and_errors(spark):
         eng2.query('''SELECT ?o WHERE {
             SERVICE <urn:svc:gone> { ?s ?p ?o } }''').collect()
     with pytest.raises(ValueError, match="SERVICE endpoint must be"):
-        eng2.query('SELECT ?o WHERE { SERVICE ?ep { ?s ?p ?o } }')
+        eng2.query('SELECT ?o WHERE { SERVICE "ep" { ?s ?p ?o } }')
+    # variable endpoint with NO registered services: the variable has
+    # nothing to range over — empty solution set, never an error
+    got = eng2.query(
+        'SELECT ?ep ?o WHERE { SERVICE ?ep { ?s ?p ?o } }').collect()
+    assert got == []
+
+
+def test_service_variable_endpoint(spark):
+    """SERVICE ?ep { ... } ranges over the registered endpoints — one
+    arm per endpoint with ?ep bound to its IRI (implementation-defined
+    per Federated Query §2.4; the in-process analog of GRAPH ?var)."""
+    local = [("urn:e1", "urn:name", "Alpha", None, None, None),
+             ("urn:e2", "urn:name", "Beta", None, None, None)]
+    svc_a = [("urn:e1", "urn:score", "9", None, None, None)]
+    svc_b = [("urn:e2", "urn:score", "4", None, None, None),
+             ("urn:e9", "urn:score", "7", None, None, None)]
+    eng2 = SparqlEngine(
+        spark.createDataFrame(local, SCHEMA),
+        services={"urn:svc:a": spark.createDataFrame(svc_a, SCHEMA),
+                  "urn:svc:b": spark.createDataFrame(svc_b, SCHEMA)})
+    got = eng2.query('''SELECT ?ep ?n ?sc WHERE {
+        ?e <urn:name> ?n .
+        SERVICE ?ep { ?e <urn:score> ?sc }
+    } ORDER BY ?n''').collect()
+    assert [(r.ep, r.n, r.sc) for r in got] == [
+        ("urn:svc:a", "Alpha", "9"), ("urn:svc:b", "Beta", "4")]
+    # an already-bound ?ep prunes arms through the solution join
+    got = eng2.query('''SELECT ?n ?sc WHERE {
+        VALUES ?ep { <urn:svc:b> }
+        ?e <urn:name> ?n .
+        SERVICE ?ep { ?e <urn:score> ?sc }
+    }''').collect()
+    assert [(r.n, r.sc) for r in got] == [("Beta", "4")]
+    # SELECT * projects the endpoint variable like any other binding
+    got = eng2.query('''SELECT ?ep ?sc WHERE {
+        SERVICE ?ep { <urn:e9> <urn:score> ?sc } }''').collect()
+    assert [(r.ep, r.sc) for r in got] == [("urn:svc:b", "7")]
 
 
 def test_service_own_dataset_outside_from_scope(spark):
