@@ -21,9 +21,10 @@ Rules (canonical, intentionally conservative):
 - empty path becomes ``/`` (``http://x.com`` == ``http://x.com/``);
 - path case and duplicate slashes preserved (both can be significant).
 
-``registrable_domain`` is the last-two-labels approximation (documented:
-no public-suffix list ships in this container; the seam is one column
-expression to swap for a broadcast PSL lookup in production).
+``registrable_domain`` is PSL-aware (round 5): last two host labels,
+or last three when the two-label tail is itself a public suffix per the
+compact ICANN-section snapshot in functions/psl.py (``co.uk`` hosts
+group correctly); a fuller snapshot plugs in via the ``psl=`` seam.
 """
 
 from __future__ import annotations
@@ -66,10 +67,25 @@ def url_query_sorted(url: Column) -> Column:
         F.array_join(F.array_sort(F.split(q, "&")), "&"))
 
 
-def registrable_domain(url: Column) -> Column:
-    """Last two host labels ('example.com') — the PSL-free approximation;
-    single-label hosts pass through unchanged."""
-    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 0)
+def registrable_domain(url: Column,
+                       psl: frozenset[str] | None = None) -> Column:
+    """The registrable domain of the host: last two labels, EXCEPT when
+    those two labels are themselves a public suffix (``co.uk``,
+    ``com.au``, …) — then the last three (``shop.co.uk``).
+
+    The suffix test runs against the compact ICANN-section snapshot in
+    functions/psl.py (a few hundred entries → Catalyst ``InSet``, pure
+    codegen, no join); pass ``psl=`` to provision a fuller snapshot.
+    Hosts that ARE a bare public suffix, and single-label hosts, pass
+    through as the longest suffix available (no registrable part
+    exists to recover)."""
+    from .psl import PSL2_SNAPSHOT
+    host = url_host(url)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 0)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 0)
+    return F.when(
+        last2.isin(*sorted(psl or PSL2_SNAPSHOT)) & (last3 != ""),
+        last3).otherwise(last2)
 
 
 def normalize_url(url: Column) -> Column:

@@ -1999,6 +1999,147 @@ def q_t9(spark, sf):
         U.registrable_domain(F.col("u")).alias("domain"))
 
 
+def _psl_in_list() -> str:
+    from .functions.psl import render_sql_in_list
+    return render_sql_in_list()
+
+
+# The corpus-curation CENSUS (round 5, VERDICT r4 item 4): ONE certified
+# slot drives all three resume-critical curation stages over ONE scan of
+# documents — the composition order a real training pipeline uses
+# (sample → key → pack).  Every output column is a scalar (the driver's
+# pandas canonicalizer cannot hash array cells — round-4 lesson).
+_SQL_T_CENSUS_CURATION = """
+  WITH kept AS (
+    SELECT doc_id, lang, source, text FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN lang = 'en' THEN '40000000'
+               WHEN lang = 'zh' THEN '80000000'
+               ELSE 'g' END),
+  m AS (
+    SELECT *,
+      CASE WHEN doc_id % 4 = 0 THEN
+             'HTTP://WWW.' || upper(source) || '.Example.COM:80//A/b/'
+               || CAST(doc_id AS VARCHAR) || '?z=1&a=2#frag'
+           WHEN doc_id % 4 = 1 THEN 'https://' || source || '.example.com:443'
+           WHEN doc_id % 4 = 2 THEN 'https://user@' || source
+               || '.CDN.example.com:8443/path/'
+               || CAST(doc_id AS VARCHAR) || '?b=2&b=1'
+           ELSE 'HTTPS://News.' || source || '.co.UK/x/'
+               || CAST(doc_id AS VARCHAR)
+      END AS u
+    FROM kept),
+  p AS (
+    SELECT *,
+      lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+    FROM m),
+  c AS (
+    SELECT *,
+      regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+      regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                     '^([^?#]*)', 1) AS path,
+      array_to_string(list_sort(string_split(
+        regexp_extract(regexp_replace(rest, '#.*$', ''),
+                       '\\?(.*)$', 1), '&')), '&') AS q
+    FROM p),
+  h AS (
+    SELECT *,
+      CASE WHEN scheme = 'http'
+             THEN regexp_replace(lower(hostport), ':80$', '')
+           WHEN scheme = 'https'
+             THEN regexp_replace(lower(hostport), ':443$', '')
+           ELSE lower(hostport) END AS hp_norm,
+      lower(regexp_replace(regexp_replace(hostport, '^[^@]*@', ''),
+                           ':[0-9]*$', '')) AS host
+    FROM c),
+  u2 AS (
+    SELECT *,
+      scheme || '://' || hp_norm
+        || (CASE WHEN path = '' THEN '/' ELSE path END)
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm,
+      CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0)
+                  IN ({PSL_IN})
+             AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 0) <> ''
+           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 0)
+           ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 0) END AS domain
+    FROM h),
+  tok AS (
+    SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+'))
+              END AS n_tokens
+    FROM u2),
+  cum AS (
+    SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumt
+    FROM tok)
+  SELECT doc_id, lang, url_norm, domain,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(floor(cumt / 2000) AS BIGINT) AS shard_ix,
+         source || '#' || CAST(CAST(floor(cumt / 2000) AS BIGINT) AS VARCHAR)
+           AS shard_id
+  FROM cum
+"""
+
+
+@register("t_census_curation",
+          _SQL_T_CENSUS_CURATION.replace("{PSL_IN}", _psl_in_list()))
+def q_t_census_curation(spark, sf):
+    """Corpus-curation CENSUS: the three resume-critical training-data
+    stages composed over ONE scan of documents, in pipeline order —
+
+    - t7 stratified keep-set (keep 25% of en / 50% of zh / all else;
+      substr(md5(id),1,8) hash threshold — shuffle-free, RNG-free,
+      bit-identical in DuckDB, operators/corpus.py stratified_sample);
+    - t9 canonical-URL key over four messy spellings per doc (case,
+      default ports, fragment, shuffled+duplicate params, userinfo,
+      empty path — functions/urls.py) PLUS the PSL-aware registrable
+      domain: the doc_id%4==3 branch synthesizes `.co.UK` hosts so the
+      public-suffix path (functions/psl.py snapshot; last-THREE labels
+      when the two-label tail is a public suffix) is driver-certified,
+      not just unit-tested.  The DuckDB twin reimplements the whole
+      rule set independently in SQL, sharing only the PSL snapshot
+      itself (public data rendered into the IN list);
+    - t8 token-budget shard packing of the KEPT set (greedy streaming
+      fill per source partition ordered by doc_id; ONE shuffle —
+      operators/corpus.py pack_shards).
+
+    Every output column is scalar (driver-canonicalizable — the round-4
+    m-census lesson).  Certified-window member: this slot puts the
+    previously mirror-only t7/t8/t9 semantics under the driver gate;
+    their solo rows stay below the fold for isolation."""
+    from .functions import urls as U
+    from .operators.corpus import pack_shards, stratified_sample
+    d = load(spark, sf, "documents")
+    kept = stratified_sample(d, "lang", "doc_id",
+                             {"en": 0.25, "zh": 0.5}, default_rate=1.0)
+    did = F.col("doc_id").cast("string")
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://WWW."), F.upper("source"),
+                        F.lit(".Example.COM:80//A/b/"), did,
+                        F.lit("?z=1&a=2#frag")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.com:443")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://user@"), F.col("source"),
+                       F.lit(".CDN.example.com:8443/path/"), did,
+                       F.lit("?b=2&b=1")))
+        .otherwise(
+            F.concat(F.lit("HTTPS://News."), F.col("source"),
+                     F.lit(".co.UK/x/"), did))
+    )
+    packed = pack_shards(kept.withColumn("u", messy),
+                         "source", "doc_id", "text", 2000)
+    return packed.select(
+        "doc_id", "lang",
+        U.normalize_url(F.col("u")).alias("url_norm"),
+        U.registrable_domain(F.col("u")).alias("domain"),
+        "n_tokens", "shard_ix", "shard_id")
+
+
 # ===================== chat / interaction surface (round 2) ================
 
 _SQL_MESSAGES = """
@@ -2762,8 +2903,16 @@ _CERTIFIED_WINDOW = [
     "d1_exact_dedup", "d6_lsh_dedup_classes", "d4_simhash",
     # text analysis: the t1–t4 signal census (round 4 — one slot
     # certifies token/char counts, quality, lang guess and fingerprint;
-    # t3's solo row rotates below the fold) + the composed corpus filter
-    "t_census_text", "t5_corpus_filter",
+    # t3's solo row rotates below the fold).  Round-5 rotation
+    # (VERDICT r4 item 4): t5_corpus_filter moves below the fold — its
+    # filter is a conjunction of the EXACT t1–t4 signal expressions the
+    # certified t_census_text row already reproduces value-for-value,
+    # so the composition stays transitively certified — in favor of
+    # t_census_curation, which puts the previously mirror-only
+    # resume-critical curation stages (t7 stratified keep-set, t8 shard
+    # packing, t9 canonical-URL key + the NEW PSL-aware registrable
+    # domain) under the driver gate in one pipeline-ordered scan.
+    "t_census_text", "t_census_curation",
     # multimodal plumbing (decode + frame-sample + features in one slot)
     "m_census_multimodal",
     # typed-literal object round-trip
@@ -2812,7 +2961,8 @@ _FAMILY_COVERAGE = {
     "ann_scale": ["v4_lsh_ann", "v5_ivf_ann"],
     "dedup": ["d1_exact_dedup", "d6_lsh_dedup_classes", "d4_simhash"],
     "text_analysis": ["t_census_text", "t5_corpus_filter"],
-    "corpus_curation": ["t6_domain_cap"],
+    "corpus_curation": ["t6_domain_cap", "t_census_curation"],
+    "url_canonicalization": ["t_census_curation"],
     "multimodal": ["m_census_multimodal"],
     "chat": ["c2_recent_interactions", "c3_merged_search_rerank"],
     "tasks_tools": ["task1_status_rollup"],

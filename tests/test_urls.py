@@ -71,3 +71,28 @@ def test_single_label_host_domain(spark):
     df = spark.createDataFrame([("http://localhost:80/x",)], "u string")
     row = df.select(U.registrable_domain(F.col("u")).alias("d")).collect()[0]
     assert row.d == ""  # no dot: approximation yields empty, documented
+
+def test_registrable_domain_psl(spark):
+    """Two-level public suffixes take three labels (functions/psl.py
+    snapshot); non-suffix tails keep two; a host that IS a bare public
+    suffix has no registrable part and passes through."""
+    df = spark.createDataFrame(
+        [("https://www.shop.co.uk/x",),
+         ("https://shop.co.uk/",),
+         ("https://news.bbc.co.uk:443/y",),
+         ("http://a.b.example.com/",),
+         ("https://co.uk/",),
+         ("https://edu.example.gov.au/",),
+         ("https://x.com.au/",)], "u string")
+    got = [r.d for r in df.select(
+        U.registrable_domain(F.col("u")).alias("d")).collect()]
+    assert got == ["shop.co.uk", "shop.co.uk", "bbc.co.uk",
+                   "example.com", "co.uk", "example.gov.au", "x.com.au"]
+
+
+def test_registrable_domain_psl_override_seam(spark):
+    """A provisioned fuller snapshot replaces the built-in one."""
+    df = spark.createDataFrame([("https://a.b.custom.tld/",)], "u string")
+    got = df.select(U.registrable_domain(
+        F.col("u"), psl=frozenset({"custom.tld"})).alias("d")).collect()
+    assert got[0].d == "b.custom.tld"
