@@ -338,6 +338,56 @@ def _headline(spark) -> tuple[dict, dict]:
     extra["salted_alias_rows"] = 5_100_000
     extra["salted_linked_rows"] = linked_rows  # 1:1 ⇒ == 2,000,000
 
+    # -- corpus curation at representative scale (VERDICT r4 item 7): a
+    #    10M-row Zipf-headed corpus — hub000 alone holds 4M rows, the
+    #    exact shape that stalls a naive per-domain row_number window.
+    #    Closed-form expected keep count validates the run; the stats
+    #    hook records how many domains took the salted path and the
+    #    structural cap·S bound on any final-phase sort ----------------
+    from kgraphmemory_spark.datagen import synthetic_zipf_corpus
+    from kgraphmemory_spark.operators.corpus import (
+        cap_per_domain,
+        pack_shards,
+    )
+
+    ZIPF_ROWS, HUBS, TAIL = 10_000_000, (4_000_000, 1_000_000), 100_000
+
+    def _domain_cap():
+        corpus = synthetic_zipf_corpus(spark, rows=ZIPF_ROWS,
+                                       hub_rows=HUBS, tail_domains=TAIL)
+        cap_stats: dict = {}
+        n = cap_per_domain(corpus, "domain", "doc_id", cap=100,
+                           salt_buckets=32, stats=cap_stats).count()
+        # 2 hubs capped at 100 + every tail row (50/domain, under cap)
+        expected = 100 * len(HUBS) + (ZIPF_ROWS - sum(HUBS))
+        assert n == expected, (n, expected)
+        extra["domain_cap_over_domains"] = cap_stats["over_cap_domains"]
+        extra["domain_cap_final_sort_bound_rows"] = \
+            cap_stats["final_sort_bound_rows"]
+        return n
+
+    run("domain_cap_zipf_10m", _domain_cap)
+
+    def _pack():
+        corpus = synthetic_zipf_corpus(spark, rows=ZIPF_ROWS,
+                                       hub_rows=HUBS, tail_domains=TAIL)
+        packed = pack_shards(corpus, "writer", "doc_id", "text",
+                             budget_tokens=100_000)
+        # token count per doc is (id % 97) + 1 — exact closed-form total
+        got = packed.agg(F.sum("n_tokens"), F.max("shard_ix"),
+                         F.count(F.lit(1))).collect()[0]
+        cycles, rem = divmod(ZIPF_ROWS, 97)
+        expected_tokens = cycles * (97 * 98 // 2) + rem * (rem + 1) // 2
+        assert got[0] == expected_tokens, (got[0], expected_tokens)
+        assert got[2] == ZIPF_ROWS and got[1] >= 1
+        extra["pack_shards_total_tokens"] = got[0]
+        extra["pack_shards_max_ix"] = got[1]
+        return got[2]
+
+    run("pack_shards_10m", _pack)
+    extra["pack_shards_docs_per_sec"] = round(
+        ZIPF_ROWS / times["pack_shards_10m"], 1)
+
     # queries whose PICKED rep was still externally polluted (every rep
     # burst-hit) — goes in the final line so residual noise is visible
     # next to the number it inflated
@@ -876,6 +926,9 @@ def _compact_headline(result: dict, extra: dict) -> dict:
                         "pipeline_cold_sec", "pipeline_raw_triples",
                         "queries_sum_sec", "cc_rounds", "cc_components",
                         "cc_components_expected", "path_closure_rounds",
+                        "domain_cap_over_domains",
+                        "domain_cap_final_sort_bound_rows",
+                        "pack_shards_docs_per_sec",
                         "battery_gate", "battery_noise")
                        if k in extra},
     }

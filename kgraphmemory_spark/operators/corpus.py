@@ -78,19 +78,29 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
 
 
 def cap_per_domain(df: DataFrame, domain_col: str, id_col: str,
-                   cap: int, salt_buckets: int = 16) -> DataFrame:
+                   cap: int, salt_buckets: int = 16,
+                   stats: dict | None = None) -> DataFrame:
     """Keep the ``cap`` lowest-``id_col`` rows per domain (deterministic).
 
     Split plan (see module docstring): rows in domains at-or-under the cap
     never enter a sort; over-cap rows take a salted two-phase top-k whose
     final per-domain sort is bounded by ``cap * salt_buckets`` rows, so a
     billion-page hub domain cannot stall a single task.
+
+    Pass ``stats`` (bench/diagnostic use — it costs one extra count job
+    over the tiny over-cap domain list) to record the skew evidence:
+    ``over_cap_domains`` = how many domains took the salted path, and
+    ``final_sort_bound_rows`` = the structural cap·S ceiling on any
+    single final-phase sort regardless of hub size.
     """
     over = (
         df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > cap)
         .select(domain_col)
     )
+    if stats is not None:
+        stats["over_cap_domains"] = over.count()
+        stats["final_sort_bound_rows"] = cap * salt_buckets
     # Power law ⇒ the over-cap domain list is small; AQE broadcasts it in
     # both joins (plain joins here so a pathological list still shuffles).
     under = df.join(over, domain_col, "left_anti")

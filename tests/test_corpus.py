@@ -125,3 +125,34 @@ def test_pack_shards_budget_overflow_bound(docs):
                       budget_tokens=budget).toPandas()
     for _, g in out.groupby("shard_id"):
         assert g.n_tokens.sum() < budget + g.n_tokens.iloc[-1] + 1
+
+def test_cap_stats_hook(spark, docs):
+    stats = {}
+    kept = cap_per_domain(docs, "source", "doc_id", cap=5,
+                          salt_buckets=4, stats=stats)
+    # hub (40) and mid (7) are over cap 5; tails (2 each) pass through
+    assert kept.count() == 5 + 5 + 2 + 2
+    assert stats == {"over_cap_domains": 2,
+                     "final_sort_bound_rows": 5 * 4}
+
+
+def test_synthetic_zipf_corpus_closed_forms(spark):
+    from kgraphmemory_spark.datagen import synthetic_zipf_corpus
+    corpus = synthetic_zipf_corpus(spark, rows=1000,
+                                   hub_rows=(400, 100),
+                                   tail_domains=50, writers=8,
+                                   partitions=4)
+    per_dom = {r.domain: r.n for r in corpus.groupBy("domain")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_dom["hub000"] == 400 and per_dom["hub001"] == 100
+    tail = {d: n for d, n in per_dom.items() if d.startswith("d")}
+    assert len(tail) == 50 and set(tail.values()) == {10}
+    # token count per doc = (id % 97) + 1, exact total
+    from kgraphmemory_spark.functions.text import token_count
+    got = corpus.agg(F.sum(token_count(F.col("text")))).collect()[0][0]
+    cycles, rem = divmod(1000, 97)
+    assert got == cycles * (97 * 98 // 2) + rem * (rem + 1) // 2
+    # the cap operator keeps hub caps + all tail rows (closed form)
+    kept = cap_per_domain(corpus, "domain", "doc_id", cap=20,
+                          salt_buckets=4).count()
+    assert kept == 20 * 2 + 500
