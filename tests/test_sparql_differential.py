@@ -630,3 +630,35 @@ def test_differential_round4_features(spark, seed):
                               ("var", "o"))], rows):
             naive[(mu["s"], mu["o"])] += 1
     assert got == naive
+
+# ---------------- round-5 closure: variable SERVICE endpoints ----------
+# SERVICE ?ep { ... } ranges over the registered endpoints (one arm per
+# endpoint with ?ep bound to its IRI).  Differential: seeded random data
+# per endpoint × a fixed query shape, vs a naive evaluation straight
+# from the algebra (cross product of outer solutions and per-endpoint
+# inner solutions, merged on the shared variable).
+
+@pytest.mark.parametrize("seed", [17, 43])
+def test_differential_service_variable_endpoint(spark, seed):
+    rng = random.Random(seed)
+    rows = _data(rng)
+    svc_rows = {f"urn:svc:{i}": _data(random.Random(seed * 7 + i))
+                for i in range(3)}
+    eng = SparqlEngine(
+        spark.createDataFrame(rows, SCHEMA),
+        services={iri: spark.createDataFrame(r, SCHEMA)
+                  for iri, r in svc_rows.items()})
+    got = Counter((r.ep, r.s, r.o, r.o2) for r in eng.query("""
+        SELECT ?ep ?s ?o ?o2 WHERE {
+          ?s <urn:p1> ?o .
+          SERVICE ?ep { ?s <urn:p2> ?o2 } }""").collect())
+    naive = Counter()
+    outer = list(_eval_bgp([(("var", "s"), ("iri", "urn:p1"),
+                             ("var", "o"))], rows))
+    for iri, srows in svc_rows.items():
+        for mu2 in _eval_bgp([(("var", "s"), ("iri", "urn:p2"),
+                               ("var", "o2"))], srows):
+            for mu in outer:
+                if mu["s"] == mu2["s"]:
+                    naive[(iri, mu["s"], mu["o"], mu2["o2"])] += 1
+    assert got == naive
