@@ -820,6 +820,8 @@ def main() -> None:
             "local4_reps": reps_n,
             "local16_reps": reps_4n,
             "raw_triples": n_raw,
+            "triples_per_sec_4c": round(n_raw / t_n, 1),
+            "docs_per_sec_4c": round(scaling_pages / t_n, 1),
             "triples_per_sec_16c": round(n_raw / t_4n, 1),
             "docs_per_sec_16c": round(scaling_pages / t_4n, 1),
             "speedup_n_to_4n": round(t_n / t_4n, 3),
@@ -896,6 +898,8 @@ def _final_headline(result: dict, extra: dict) -> dict:
             "local4_sec": s.get("local4_sec"),
             "local16_sec": s.get("local16_sec"),
             "raw_triples": s.get("raw_triples"),
+            "triples_per_sec_4c": s.get("triples_per_sec_4c"),
+            "docs_per_sec_4c": s.get("docs_per_sec_4c"),
             "triples_per_sec_16c": s.get("triples_per_sec_16c"),
             "docs_per_sec_16c": s.get("docs_per_sec_16c"),
             "speedup_n_to_4n": s.get("speedup_n_to_4n"),
